@@ -1,0 +1,135 @@
+"""GridEncoding module — Hash / Dense / Tiled multiresolution grids.
+
+Module wrapper over :mod:`tcnn_tpu.ops.grid_ops` (the jnp compute path)
+with an optional Pallas fast path for forward/inference.  Config schema
+matches the reference factory (grid.h:1143-1208, DOCUMENTATION.md
+"Grid"): aliases HashGrid/DenseGrid/TiledGrid select the grid type.
+
+Unlike the reference this supports any n_pos_dims ≤ 7 and any
+n_features_per_level (the reference templates over {1,2,4,8} × {2,3,4}
+— the fork notably enables 4-D grids for BTF inputs,
+grid.h:1174-1180).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...common import GridType, HashType, InterpolationType, Policy
+from ...module import Encoding
+from ...ops import grid_ops
+from ...registry import register_encoding
+
+
+class GridEncoding(Encoding):
+    def __init__(
+        self,
+        n_dims_to_encode: int,
+        n_levels: int = 16,
+        n_features_per_level: int = 2,
+        log2_hashmap_size: int = 19,
+        base_resolution: int = 16,
+        per_level_scale: float = 2.0,
+        grid_type: GridType = GridType.HASH,
+        hash_type: HashType = HashType.COHERENT_PRIME,
+        interpolation: InterpolationType = InterpolationType.LINEAR,
+        stochastic_interpolation: bool = False,
+        policy: Optional[Policy] = None,
+    ):
+        super().__init__(policy)
+        if stochastic_interpolation:
+            raise NotImplementedError(
+                "stochastic_interpolation is not supported (deterministic "
+                "gradients are a design goal of the TPU build)")
+        self.spec = grid_ops.make_grid_spec(
+            n_dims=n_dims_to_encode,
+            n_levels=n_levels,
+            n_features_per_level=n_features_per_level,
+            log2_hashmap_size=log2_hashmap_size,
+            base_resolution=base_resolution,
+            per_level_scale=per_level_scale,
+            grid_type=grid_type,
+            hash_type=hash_type,
+            interpolation=interpolation,
+        )
+        self.log2_hashmap_size = log2_hashmap_size
+        self.base_resolution = base_resolution
+        self.per_level_scale = per_level_scale
+        self.n_input_dims = n_dims_to_encode
+        self.n_output_dims = self.spec.n_output_dims
+        self.max_level: Optional[int] = None  # static level cutoff
+
+    # -- parameters ---------------------------------------------------
+    def init(self, key):
+        return {"grid": grid_ops.init_grid_params(
+            key, self.spec, dtype=self.policy.param_dtype)}
+
+    def param_layout(self, params):
+        # Hash tables are "non-matrix" params: Adam applies
+        # non_matrix_learning_rate_factor and lazy stepping to them
+        # (adam.h:76-118), and no L2 reg.
+        return {"grid": "other"}
+
+    def n_params(self, params=None):
+        return self.spec.n_params
+
+    def level_params_offset(self, level: int) -> int:
+        if level >= self.spec.n_levels:
+            return self.spec.n_entries * self.spec.n_features_per_level
+        return self.spec.levels[level].offset * self.spec.n_features_per_level
+
+    def level_n_params(self, level: int) -> int:
+        return self.spec.levels[level].size * self.spec.n_features_per_level
+
+    # -- compute ------------------------------------------------------
+    def apply(self, params, x):
+        y = grid_ops.grid_encode(self.spec, params["grid"], x,
+                                 max_level=self.max_level)
+        return y.astype(self.policy.compute_dtype)
+
+    def required_output_alignment(self) -> int:
+        return self.spec.n_features_per_level
+
+    def hyperparams(self) -> Dict[str, Any]:
+        return {
+            "otype": "Grid",
+            "type": self.spec.grid_type.value,
+            "n_levels": self.spec.n_levels,
+            "n_features_per_level": self.spec.n_features_per_level,
+            "log2_hashmap_size": self.log2_hashmap_size,
+            "base_resolution": self.base_resolution,
+            "per_level_scale": self.per_level_scale,
+            "interpolation": self.spec.interpolation.value,
+            "hash": self.spec.hash_type.value,
+        }
+
+
+def _make_grid(n_dims: int, cfg: Dict[str, Any], default_type: str = "Hash",
+               policy: Optional[Policy] = None) -> GridEncoding:
+    return GridEncoding(
+        n_dims_to_encode=n_dims,
+        n_levels=cfg.get("n_levels", 16),
+        n_features_per_level=cfg.get("n_features_per_level", 2),
+        log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+        base_resolution=cfg.get("base_resolution", 16),
+        per_level_scale=cfg.get("per_level_scale", 2.0),
+        grid_type=GridType.from_string(cfg.get("type", default_type)),
+        hash_type=HashType.from_string(cfg.get("hash", "CoherentPrime")),
+        interpolation=InterpolationType.from_string(
+            cfg.get("interpolation", "Linear")),
+        stochastic_interpolation=cfg.get("stochastic_interpolation", False),
+        policy=policy,
+    )
+
+
+register_encoding(
+    "Grid", lambda n, cfg, policy=None: _make_grid(n, cfg, "Hash", policy))
+register_encoding(
+    "HashGrid", lambda n, cfg, policy=None: _make_grid(n, cfg, "Hash", policy))
+register_encoding(
+    "DenseGrid", lambda n, cfg, policy=None: _make_grid(n, cfg, "Dense", policy))
+register_encoding(
+    "TiledGrid", lambda n, cfg, policy=None: _make_grid(n, cfg, "Tiled", policy))

@@ -1,0 +1,68 @@
+"""Encoding ∘ Network composition (network_with_input_encoding.h:41-190).
+
+The reference composes the two modules with an intermediate buffer in
+the encoding's preferred layout and aligns the encoding's padded output
+to the network's minimum alignment; under XLA the intermediate is just
+a value and the network consumes the encoding's exact width, so the
+whole alignment dance disappears (kernels that want lane-aligned widths
+pad internally).
+
+Parameters are the dict {"encoding": ..., "network": ...}.  The
+reference packs a flat [network params][encoding params] buffer
+(network_with_input_encoding.h:115-130); here the pytree keeps the two
+groups named.  Note that the canonical (alphabetical) leaf order is
+encoding-first — Composite optimizers using ``n_params_to_optimize``
+offsets follow that pytree order, while kind-based selection
+("matrix"/"other") is order-independent and preferred.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+
+from ..common import Policy
+from ..module import Encoding, Module, Network
+
+
+class NetworkWithInputEncoding(Module):
+    def __init__(self, encoding: Encoding, network: Network,
+                 policy: Optional[Policy] = None):
+        super().__init__(policy or network.policy)
+        if network.n_input_dims != encoding.n_output_dims:
+            raise ValueError(
+                f"network n_input_dims ({network.n_input_dims}) must equal "
+                f"encoding n_output_dims ({encoding.n_output_dims})")
+        self.encoding = encoding
+        self.network = network
+        self.n_input_dims = encoding.n_input_dims
+        self.n_output_dims = network.n_output_dims
+
+    def init(self, key):
+        k_enc, k_net = jax.random.split(key)
+        return {
+            "encoding": self.encoding.init(k_enc),
+            "network": self.network.init(k_net),
+        }
+
+    def param_layout(self, params):
+        return {
+            "encoding": self.encoding.param_layout(params["encoding"]),
+            "network": self.network.param_layout(params["network"]),
+        }
+
+    def apply(self, params, x):
+        feats = self.encoding.apply(params["encoding"], x)
+        return self.network.apply(params["network"], feats)
+
+    def inference(self, params, x):
+        feats = self.encoding.inference(params["encoding"], x)
+        return self.network.inference(params["network"], feats)
+
+    def hyperparams(self) -> Dict[str, Any]:
+        return {
+            "otype": "NetworkWithInputEncoding",
+            "encoding": self.encoding.hyperparams(),
+            "network": self.network.hyperparams(),
+        }

@@ -1,0 +1,93 @@
+"""FusedMLP — the TPU counterpart of FullyFusedMLP.
+
+The reference's FullyFusedMLP (src/fully_fused_mlp.cu) performs the
+entire multi-layer forward (or backward) pass in ONE CUDA kernel with
+weights staged in registers/shared memory.  The TPU-native equivalent
+is a Pallas kernel (ops/pallas/fused_mlp.py) that:
+
+  * pins ALL layer weights in VMEM for the whole grid (they are tiny:
+    128×128×bf16 = 32 KB/layer vs ~16 MB VMEM);
+  * tiles the batch across grid programs, each running the unrolled
+    layer loop on the MXU with fused activations — activations never
+    touch HBM between layers (the exact property that makes the CUDA
+    kernel fast);
+  * uses fp32 MXU accumulation, eliminating the reference's fp16
+    loss-scaling machinery.
+
+Like the reference, widths are restricted to {16, 32, 64, 128}
+(fully_fused_mlp.cu:893-896); arbitrary widths go to ``MLP``.  The
+backward pass is jax.custom_vjp-backed by dedicated Pallas kernels
+(forward with stashed activations + fused dgrad/wgrad backward).
+
+When Pallas is unavailable (CPU tests) or disabled, apply() falls back
+to the identical-math jnp chain, which is also the ground truth the
+kernels are verified against.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...common import Activation, Policy
+from ...registry import register_network
+from .mlp import MLP
+
+
+def _pallas_supported() -> bool:
+    if os.environ.get("TCNN_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+class FusedMLP(MLP):
+    SUPPORTED_WIDTHS = (16, 32, 64, 128)
+
+    def __init__(self, *args, use_pallas: Optional[bool] = None, **kwargs):
+        super().__init__(*args, otype="FullyFusedMLP", **kwargs)
+        if self.n_neurons not in self.SUPPORTED_WIDTHS:
+            raise ValueError(
+                f"FullyFusedMLP only supports widths {self.SUPPORTED_WIDTHS} "
+                f"(got {self.n_neurons}); use otype=MLP/CutlassMLP for "
+                "arbitrary widths")
+        self.use_pallas = (_pallas_supported() if use_pallas is None
+                           else use_pallas)
+
+    def apply(self, params, x):
+        if self.use_pallas and self._n_hidden_layers >= 1:
+            from ...ops.pallas import fused_mlp as kernels
+
+            return kernels.fused_mlp_apply(
+                params["layers"], x,
+                activation=self.activation,
+                output_activation=self.output_activation,
+                compute_dtype=self.policy.compute_dtype,
+                output_dtype=self.policy.output_dtype,
+            )
+        return super().apply(params, x)
+
+    def inference(self, params, x):
+        # Same entry point: the custom_vjp forward already avoids
+        # stashing activations unless a gradient is actually pulled
+        # (XLA DCEs the residual outputs in inference graphs).
+        return self.apply(params, x)
+
+
+register_network(
+    "FullyFusedMLP",
+    lambda cfg, n_in, n_out, policy=None: FusedMLP(
+        n_input_dims=n_in,
+        n_output_dims=n_out,
+        n_neurons=cfg.get("n_neurons", 128),
+        n_hidden_layers=cfg.get("n_hidden_layers", 5),
+        activation=Activation.from_string(cfg.get("activation", "ReLU")),
+        output_activation=Activation.from_string(
+            cfg.get("output_activation", "None")),
+        policy=policy,
+    ))

@@ -1,0 +1,269 @@
+"""Multiresolution grid encoding — index math and jnp compute path.
+
+TPU-native rebuild of the reference's grid encoding
+(encodings/grid.h:48-650, common_device.h:631-718).  The CUDA version
+hand-writes forward gather, backward atomic scatter-add, and three
+second-order kernels; here the forward pass is expressed as pure jnp
+(gather + n-linear interpolation) and ALL derivatives come from XLA's
+autodiff:
+
+  * backward w.r.t. the table is the transpose of gather — a
+    deterministic scatter-add (XLA sorts/serializes on TPU), which is a
+    *stronger* guarantee than the reference's nondeterministic
+    atomicAdd (grid.h:214-320 tolerates races, test_grid_bwdbwd.py:137
+    sets nondet_tol).
+  * backward w.r.t. the input differentiates the interpolation weights
+    (dy/dx, grid.h:322-349).
+  * second order (grid.h:351-623's three Hessian blocks) falls out of
+    jvp-of-vjp composition and is complete, including the blocks the
+    reference leaves unimplemented.
+
+Level geometry matches the reference exactly:
+  scale(l)    = 2^(l·log2(per_level_scale)) · base_resolution − 1
+  resolution  = ceil(scale) + 1            (common_device.h:709-718)
+  pos         = x·scale + 0.5; cell = floor(pos); f = pos − cell
+                                           (pos_fract, common_device.h:826-868)
+  params/level = min(resolution^D rounded up to 8, caps per grid type)
+                                           (grid.h:692-718)
+  index: dense strided while stride ≤ table size, else spatial hash,
+  finally % table size                     (grid_index, common_device.h:690-707)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..common import (
+    COHERENT_PRIME_HASH_FACTORS,
+    GridType,
+    HashType,
+    InterpolationType,
+    MAX_N_GRID_LEVELS,
+    PRIME_HASH_FACTORS,
+    REVERSED_PRIME_HASH_FACTORS,
+    next_multiple,
+)
+
+_MAX_PARAMS = 2 ** 31  # uint32_max/2 cap (grid.h:696)
+
+
+def hash_factors(hash_type: HashType, n_dims: int) -> Tuple[int, ...]:
+    if hash_type == HashType.PRIME:
+        f = PRIME_HASH_FACTORS
+    elif hash_type == HashType.COHERENT_PRIME:
+        f = COHERENT_PRIME_HASH_FACTORS
+    elif hash_type == HashType.REVERSED_PRIME:
+        f = REVERSED_PRIME_HASH_FACTORS
+    else:
+        raise NotImplementedError(
+            f"Hash type {hash_type} is not implemented (reference supports it "
+            "via pcg32 skip-ahead; add if ever needed in practice)")
+    if n_dims > len(f):
+        raise ValueError(f"grid hash supports at most {len(f)} dims")
+    return f[:n_dims]
+
+
+def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
+    return float(2.0 ** (level * log2_per_level_scale) * base_resolution - 1.0)
+
+
+def grid_resolution(scale: float) -> int:
+    return int(math.ceil(scale)) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelSpec:
+    """Static (trace-time) constants of one grid level."""
+    scale: float
+    resolution: int
+    offset: int          # offset into the table, in feature-vector entries
+    size: int            # number of feature-vector entries in this level
+    use_hash: bool
+    strides: Tuple[int, ...]       # per-dim stride (uint32 wrapped)
+    stride_mask: Tuple[bool, ...]  # dim participates in dense index accumulation
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static description of a full multiresolution grid."""
+    n_dims: int
+    n_levels: int
+    n_features_per_level: int
+    grid_type: GridType
+    hash_type: HashType
+    interpolation: InterpolationType
+    levels: Tuple[LevelSpec, ...]
+    n_entries: int   # total feature-vector entries (table rows)
+
+    @property
+    def n_params(self) -> int:
+        return self.n_entries * self.n_features_per_level
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+
+def make_grid_spec(
+    n_dims: int,
+    n_levels: int,
+    n_features_per_level: int,
+    log2_hashmap_size: int,
+    base_resolution: int,
+    per_level_scale: float,
+    grid_type: GridType = GridType.HASH,
+    hash_type: HashType = HashType.COHERENT_PRIME,
+    interpolation: InterpolationType = InterpolationType.LINEAR,
+) -> GridSpec:
+    """Build the level/offset table (grid.h:686-731)."""
+    if n_levels > MAX_N_GRID_LEVELS:
+        raise ValueError(f"n_levels={n_levels} exceeds {MAX_N_GRID_LEVELS}")
+    log2_pls = math.log2(per_level_scale)
+    levels: List[LevelSpec] = []
+    offset = 0
+    for l in range(n_levels):
+        scale = grid_scale(l, log2_pls, base_resolution)
+        res = grid_resolution(scale)
+
+        dense = res ** n_dims
+        params_in_level = min(dense, _MAX_PARAMS)
+        params_in_level = next_multiple(params_in_level, 8)
+        if grid_type == GridType.TILED:
+            params_in_level = min(params_in_level, base_resolution ** n_dims)
+        elif grid_type == GridType.HASH:
+            params_in_level = min(params_in_level, 1 << log2_hashmap_size)
+
+        # Dense stride accumulation with the reference's early-exit
+        # (common_device.h:692-697): dims stop contributing once the
+        # running stride exceeds the table size.  uint32 wraparound kept.
+        strides = []
+        mask = []
+        stride = 1
+        for _ in range(n_dims):
+            participates = stride <= params_in_level
+            strides.append(stride % (2 ** 32))
+            mask.append(participates)
+            if participates:
+                stride = (stride * res) % (2 ** 32)
+        use_hash = grid_type == GridType.HASH and params_in_level < stride
+        levels.append(LevelSpec(
+            scale=scale, resolution=res, offset=offset, size=params_in_level,
+            use_hash=use_hash, strides=tuple(strides), stride_mask=tuple(mask)))
+        offset += params_in_level
+
+    return GridSpec(
+        n_dims=n_dims, n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        grid_type=grid_type, hash_type=hash_type, interpolation=interpolation,
+        levels=tuple(levels), n_entries=offset)
+
+
+def _corner_offsets(n_dims: int) -> np.ndarray:
+    """(2^D, D) array of 0/1 corner offsets, corner-major bit order
+    matching the reference's ``idx & (1<<dim)`` convention (grid.h:125)."""
+    n = 1 << n_dims
+    out = np.zeros((n, n_dims), dtype=np.int64)
+    for c in range(n):
+        for d in range(n_dims):
+            out[c, d] = (c >> d) & 1
+    return out
+
+
+def level_indices(spec: GridSpec, level: LevelSpec, pos_grid: jax.Array) -> jax.Array:
+    """Table row indices for integer grid coords.
+
+    pos_grid: (..., D) uint32 → (...,) int32 row index *within the whole
+    table* (level offset included).
+    """
+    if level.use_hash:
+        factors = hash_factors(spec.hash_type, spec.n_dims)
+        idx = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(spec.n_dims):
+            idx = idx ^ (pos_grid[..., d] * jnp.uint32(factors[d]))
+    else:
+        idx = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(spec.n_dims):
+            if level.stride_mask[d]:
+                idx = idx + pos_grid[..., d] * jnp.uint32(level.strides[d])
+    idx = idx % jnp.uint32(level.size)
+    return (idx + jnp.uint32(level.offset)).astype(jnp.int32)
+
+
+def _interp_weight(f: jax.Array, interp: InterpolationType) -> jax.Array:
+    """Map the cell-relative fraction to an interpolation weight.
+
+    Linear: identity.  Smoothstep: 3f²−2f³ (C¹, so second-order input
+    grads exist; common_device.h:801-811).  Nearest: a 0/1 step — its
+    autodiff derivative is exactly the reference's zero dy/dx.
+    """
+    if interp == InterpolationType.LINEAR:
+        return f
+    if interp == InterpolationType.SMOOTHSTEP:
+        return f * f * (3.0 - 2.0 * f)
+    if interp == InterpolationType.NEAREST:
+        return (f > 0.5).astype(f.dtype)
+    raise ValueError(f"bad interpolation {interp}")
+
+
+def grid_encode(
+    spec: GridSpec,
+    table: jax.Array,
+    x: jax.Array,
+    max_level: Optional[int] = None,
+) -> jax.Array:
+    """Forward grid encoding.
+
+    Args:
+      spec:  static grid description.
+      table: (n_entries, F) feature table (the trainable params).
+      x:     (B, D) coordinates, typically in [0, 1]^D.
+      max_level: optional static level cutoff — levels ≥ max_level emit
+        zeros (and receive zero grads), matching the reference's
+        max_level masking (grid.h:69-92).
+
+    Returns (B, L·F) features, level-major (level l occupies columns
+    [l·F, (l+1)·F)), matching the reference's SoA output order.
+    """
+    if x.ndim != 2 or x.shape[1] != spec.n_dims:
+        raise ValueError(f"expected (B, {spec.n_dims}) input, got {x.shape}")
+    B = x.shape[0]
+    F = spec.n_features_per_level
+    corners = jnp.asarray(_corner_offsets(spec.n_dims), dtype=jnp.uint32)  # (C, D)
+    xf = x.astype(jnp.float32)
+
+    outs = []
+    for li, level in enumerate(spec.levels):
+        if max_level is not None and li >= max_level:
+            outs.append(jnp.zeros((B, F), dtype=table.dtype))
+            continue
+        pos = xf * level.scale + 0.5
+        cell_f = jnp.floor(pos)
+        f = pos - cell_f
+        # (uint32)(int)floorf — wraps negatives exactly like CUDA.
+        cell = cell_f.astype(jnp.int32).astype(jnp.uint32)  # (B, D)
+        w1 = _interp_weight(f, spec.interpolation)          # weight of the +1 corner
+        corner_pos = cell[:, None, :] + corners[None, :, :]          # (B, C, D)
+        idx = level_indices(spec, level, corner_pos)                 # (B, C)
+        feats = jnp.take(table, idx.reshape(-1), axis=0)             # (B·C, F)
+        feats = feats.reshape(B, -1, F)
+        # weight product over dims: corner bit d set → w1_d else 1−w1_d
+        cw = jnp.where(corners[None, :, :].astype(bool),
+                       w1[:, None, :], 1.0 - w1[:, None, :])         # (B, C, D)
+        weight = jnp.prod(cw, axis=-1)                               # (B, C)
+        outs.append(jnp.einsum("bc,bcf->bf", weight.astype(jnp.float32),
+                               feats.astype(jnp.float32)).astype(table.dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def init_grid_params(key: jax.Array, spec: GridSpec, scale: float = 1.0,
+                     dtype=jnp.float32) -> jax.Array:
+    """U(−1e-4, 1e-4)·scale init (grid.h:1059-1062)."""
+    return jax.random.uniform(
+        key, (spec.n_entries, spec.n_features_per_level), dtype=dtype,
+        minval=-1e-4 * scale, maxval=1e-4 * scale)

@@ -1,0 +1,206 @@
+"""Trainer — owns parameters + optimizer state, runs jitted train steps.
+
+TPU-native rebuild of the reference Trainer (trainer.h:47-361).  The
+mapping of mechanisms:
+
+  * single raw param buffer [fp32 master | fp16 weights | fp16 grads]
+    (trainer.h:75, :322-336)    →  a fp32 param pytree; compute-dtype
+    casting happens inside the jitted step (dtype policy); gradients
+    are jax.grad outputs, never materialized buffers.
+  * CUDA-graph capture of forward+loss+backward (trainer.h:176-183)
+    →  one ``jax.jit`` over the whole (loss, grad, optimizer) step
+    with donated params/opt-state (XLA compiles a single executable —
+    the same "no per-kernel launch overhead" effect, plus fusion).
+  * loss readback via reduce_sum (trainer.h:205-211)  →  the scalar
+    loss is an output of the jitted step; callers decide when to
+    device-sync.
+  * optimizer custom_weights for inference (trainer.h:329-333)
+    →  ``inference_params()``.
+  * serialize/deserialize params+optimizer state (trainer.h:275-315)
+    →  utils/serialization.py (msgpack-free npz/json-binary).
+
+``training_step`` returns (new_state, loss_value) and is safe to call
+in a tight Python loop: all arrays stay on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import Policy
+from .losses import Loss
+from .module import Module
+from .optimizers import Optimizer
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainerState:
+    params: Any            # fp32 master params (pytree)
+    opt_state: Any
+    step: jax.Array        # uint32
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: Module,
+        optimizer: Optimizer,
+        loss: Loss,
+        seed: int = 1337,
+        policy: Optional[Policy] = None,
+        perturbation_sigma: Optional[float] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.loss = loss
+        self.policy = policy or model.policy
+        self.seed = seed
+        if perturbation_sigma is not None:
+            # Reference: optional logistic output perturbation for
+            # dithering (trainer.h:114-123).  Deferred — raise loudly
+            # rather than silently ignoring.
+            raise NotImplementedError("output perturbation not yet implemented")
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- state --------------------------------------------------------
+    def initial_state(self, key: Optional[jax.Array] = None) -> TrainerState:
+        if key is None:
+            key = jax.random.key(self.seed)
+        params = self.model.init(key)
+        layout = self.model.param_layout(params)
+        opt_state = self.optimizer.init(params, layout)
+        return TrainerState(params=params, opt_state=opt_state,
+                            step=jnp.zeros((), jnp.uint32))
+
+    def n_params(self, state: TrainerState) -> int:
+        return self.model.n_params(state.params)
+
+    # -- core step ----------------------------------------------------
+    def loss_value_and_grads(self, params, x, target, pdf=None):
+        def scalar_loss(p):
+            pred = self.model.apply(p, x)
+            return self.loss(pred.astype(jnp.float32), target, pdf)
+
+        return jax.value_and_grad(scalar_loss)(params)
+
+    def _training_step(self, state: TrainerState, x, target, pdf):
+        loss_value, grads = self.loss_value_and_grads(state.params, x, target, pdf)
+        opt_state, params = self.optimizer.step(state.opt_state, grads,
+                                                state.params)
+        return TrainerState(params=params, opt_state=opt_state,
+                            step=state.step + 1), loss_value
+
+    @functools.cached_property
+    def _jitted_step(self):
+        return jax.jit(self._training_step, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _jitted_step_no_pdf(self):
+        return jax.jit(lambda s, x, t: self._training_step(s, x, t, None),
+                       donate_argnums=(0,))
+
+    def training_step(self, state: TrainerState, x, target,
+                      pdf=None) -> Tuple[TrainerState, jax.Array]:
+        """One forward+backward+optimize step (≈ trainer.h:163-190)."""
+        if pdf is None:
+            return self._jitted_step_no_pdf(state, x, target)
+        return self._jitted_step(state, x, target, pdf)
+
+    # -- multi-step loops (CUDA-graph-replay analog) ------------------
+    def make_training_loop(self, sample_fn, n_steps: int):
+        """Compile ``n_steps`` training steps into ONE executable.
+
+        The reference replays a captured CUDA graph per step to kill
+        launch overhead (trainer.h:176-183); on TPU the same idea goes
+        further: a ``lax.scan`` over steps amortizes *dispatch* latency
+        entirely (one host→device round trip per ``n_steps``), and
+        data generation runs on-device inside the loop.
+
+        Args:
+          sample_fn: key -> (x, target); traced inside the scan (e.g. an
+            ImageSampler closure generating random pixel batches).
+          n_steps: static step count per call.
+
+        Returns a jitted ``loop(state, key) -> (state, losses[n_steps])``.
+        """
+
+        def loop(state, key):
+            def body(st, i):
+                x, t = sample_fn(jax.random.fold_in(key, i))
+                st, loss = self._training_step(st, x, t, None)
+                return st, loss
+
+            return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+        return jax.jit(loop, donate_argnums=(0,))
+
+    def training_loop(self, state: TrainerState, xs, targets):
+        """Run one training step per pool entry, all in one dispatch.
+
+        xs/targets: (P, B, D) stacked batch pools living on device."""
+        n = xs.shape[0]
+        key = (n, xs.shape, targets.shape)
+        if key not in self._jit_cache:
+            def loop(state, xs, ts):
+                def body(st, i):
+                    x = jax.lax.dynamic_index_in_dim(xs, i, 0, keepdims=False)
+                    t = jax.lax.dynamic_index_in_dim(ts, i, 0, keepdims=False)
+                    st, loss = self._training_step(st, x, t, None)
+                    return st, loss
+
+                return jax.lax.scan(body, state, jnp.arange(n))
+
+            self._jit_cache[key] = jax.jit(loop, donate_argnums=(0,))
+        return self._jit_cache[key](state, xs, targets)
+
+    # -- inference ----------------------------------------------------
+    def inference_params(self, state: TrainerState):
+        """Params to use for inference — the optimizer's custom weights
+        (EMA/Average) if any (trainer.h:329-333)."""
+        cw = self.optimizer.custom_weights(state.opt_state, state.params)
+        return cw if cw is not None else state.params
+
+    @functools.cached_property
+    def _jitted_inference(self):
+        return jax.jit(lambda p, x: self.model.inference(p, x))
+
+    def inference(self, state: TrainerState, x) -> jax.Array:
+        return self._jitted_inference(self.inference_params(state), x)
+
+    @functools.cached_property
+    def _jitted_forward(self):
+        return jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def forward(self, state: TrainerState, x) -> jax.Array:
+        return self._jitted_forward(state.params, x)
+
+    def evaluate_loss(self, state: TrainerState, x, target, pdf=None) -> jax.Array:
+        pred = self.forward(state, x)
+        return self.loss(pred.astype(jnp.float32), target, pdf)
+
+    # -- checkpointing ------------------------------------------------
+    def serialize(self, state: TrainerState,
+                  serialize_optimizer: bool = True) -> Dict[str, Any]:
+        from .utils import serialization
+
+        return serialization.serialize_trainer(self, state, serialize_optimizer)
+
+    def deserialize(self, data: Dict[str, Any],
+                    state: Optional[TrainerState] = None) -> TrainerState:
+        from .utils import serialization
+
+        return serialization.deserialize_trainer(self, data, state)

@@ -1,0 +1,218 @@
+"""Grid encoding tests — level geometry against the reference's
+formulas, interpolation against hand math, and the gradcheck suite
+replacing scripts/test_grid_bwdbwd.py (first AND second order, hash and
+dense, linear and smoothstep)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+import tcnn_tpu as tcnn
+from tcnn_tpu.common import GridType, HashType, InterpolationType
+from tcnn_tpu.ops import grid_ops
+
+
+def key(i=0):
+    return jax.random.key(i)
+
+
+class TestGridSpec:
+    def test_level_geometry_matches_reference_formulas(self):
+        # grid_scale/grid_resolution (common_device.h:709-718).
+        spec = grid_ops.make_grid_spec(
+            n_dims=2, n_levels=4, n_features_per_level=2,
+            log2_hashmap_size=15, base_resolution=16, per_level_scale=1.5)
+        for l, level in enumerate(spec.levels):
+            scale = 2.0 ** (l * math.log2(1.5)) * 16 - 1.0
+            assert abs(level.scale - scale) < 1e-4
+            assert level.resolution == int(math.ceil(scale)) + 1
+
+    def test_offsets_rounded_to_8(self):
+        spec = grid_ops.make_grid_spec(2, 4, 2, 15, 16, 1.5)
+        for level in spec.levels:
+            assert level.offset % 8 == 0
+            assert level.size % 8 == 0 or level.size == min(
+                level.size, 1 << 15)
+
+    def test_hash_kicks_in_when_dense_exceeds_table(self):
+        spec = grid_ops.make_grid_spec(3, 8, 2, 10, 4, 2.0,
+                                       grid_type=GridType.HASH)
+        dense_fits = [lvl.resolution ** 3 <= (1 << 10) for lvl in spec.levels]
+        for lvl, fits in zip(spec.levels, dense_fits):
+            assert lvl.use_hash == (not fits)
+
+    def test_dense_never_hashes(self):
+        spec = grid_ops.make_grid_spec(2, 6, 2, 10, 4, 1.5,
+                                       grid_type=GridType.DENSE)
+        assert not any(l.use_hash for l in spec.levels)
+
+    def test_tiled_caps_at_base_resolution(self):
+        spec = grid_ops.make_grid_spec(2, 6, 2, 19, 4, 2.0,
+                                       grid_type=GridType.TILED)
+        for lvl in spec.levels:
+            assert lvl.size <= 4 ** 2 + 8  # base_res^D (round-to-8 applied
+            # before the tiled cap, grid.h:700-706, so cap is exact)
+            assert lvl.size <= 16
+
+    def test_n_params(self):
+        # config_hash-like: 16 levels, F=2, log2=15, base 16, scale 1.5.
+        spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
+        assert spec.n_params == spec.n_entries * 2
+        assert spec.n_output_dims == 32
+
+
+class TestGridForward:
+    def test_bilinear_interpolation_exact(self):
+        """One dense 2-D level: compare against hand-rolled bilerp."""
+        spec = grid_ops.make_grid_spec(
+            n_dims=2, n_levels=1, n_features_per_level=1,
+            log2_hashmap_size=19, base_resolution=4, per_level_scale=2.0,
+            grid_type=GridType.DENSE)
+        lvl = spec.levels[0]
+        table = jax.random.normal(key(1), (spec.n_entries, 1))
+        x = jnp.array([[0.37, 0.61]])
+        y = float(grid_ops.grid_encode(spec, table, x)[0, 0])
+
+        # Hand math: pos = x·scale + 0.5 (pos_fract, common_device.h:826).
+        tab = np.asarray(table)[:, 0]
+        res = lvl.resolution
+        pos = np.array([0.37, 0.61]) * lvl.scale + 0.5
+        cell = np.floor(pos).astype(int)
+        f = pos - cell
+        acc = 0.0
+        for cx in (0, 1):
+            for cy in (0, 1):
+                w = (f[0] if cx else 1 - f[0]) * (f[1] if cy else 1 - f[1])
+                idx = ((cell[0] + cx) + (cell[1] + cy) * res) % lvl.size
+                acc += w * tab[idx]
+        assert abs(y - acc) < 1e-5
+
+    def test_output_is_level_major(self):
+        spec = grid_ops.make_grid_spec(2, 3, 2, 10, 4, 2.0)
+        table = jax.random.normal(key(2), (spec.n_entries, 2))
+        x = jax.random.uniform(key(3), (5, 2))
+        y = grid_ops.grid_encode(spec, table, x)
+        assert y.shape == (5, 6)
+        # Zeroing level 1's rows only affects columns [2, 4).
+        t2 = table.at[spec.levels[1].offset:spec.levels[2].offset].set(0.0)
+        y2 = grid_ops.grid_encode(spec, t2, x)
+        np.testing.assert_allclose(np.asarray(y[:, :2]), np.asarray(y2[:, :2]))
+        np.testing.assert_allclose(np.asarray(y[:, 4:]), np.asarray(y2[:, 4:]))
+        assert np.abs(np.asarray(y2[:, 2:4])).max() < 1e-6
+
+    def test_max_level_masking(self):
+        enc = tcnn.GridEncoding(2, n_levels=4, n_features_per_level=2,
+                                log2_hashmap_size=10, base_resolution=4)
+        params = enc.init(key(4))
+        x = jax.random.uniform(key(5), (3, 2))
+        enc.max_level = 2
+        y = np.asarray(enc.apply(params, x))
+        assert np.abs(y[:, 4:]).max() == 0.0
+        assert np.abs(y[:, :4]).max() > 0.0
+
+    def test_4d_grid(self):
+        """The fork's raison d'être: 4-D grids (grid.h:1177)."""
+        enc = tcnn.GridEncoding(4, n_levels=4, n_features_per_level=2,
+                                log2_hashmap_size=8, base_resolution=3)
+        params = enc.init(key(6))
+        x = jax.random.uniform(key(7), (32, 4))
+        y = enc.apply(params, x)
+        assert y.shape == (32, 8)
+        assert bool(jnp.all(jnp.isfinite(y)))
+
+    def test_hash_types_differ(self):
+        xs = jax.random.uniform(key(8), (64, 3))
+        outs = []
+        for ht in (HashType.PRIME, HashType.COHERENT_PRIME,
+                   HashType.REVERSED_PRIME):
+            spec = grid_ops.make_grid_spec(3, 2, 1, 6, 16, 2.0, hash_type=ht)
+            table = jax.random.normal(key(9), (spec.n_entries, 1))
+            outs.append(np.asarray(grid_ops.grid_encode(spec, table, xs)))
+        assert not np.allclose(outs[0], outs[1])
+        assert not np.allclose(outs[1], outs[2])
+
+    def test_nearest_interpolation_picks_corner(self):
+        spec = grid_ops.make_grid_spec(
+            2, 1, 1, 19, 4, 2.0, grid_type=GridType.DENSE,
+            interpolation=InterpolationType.NEAREST)
+        table = jax.random.normal(key(10), (spec.n_entries, 1))
+        x = jax.random.uniform(key(11), (32, 2))
+        y = np.asarray(grid_ops.grid_encode(spec, table, x))[:, 0]
+        assert all(any(abs(v - t) < 1e-6 for t in np.asarray(table)[:, 0])
+                   for v in y)
+
+
+class TestGridGradients:
+    """Replaces scripts/test_grid_bwdbwd.py's gradcheck suite.
+
+    The reference implements three second-order Hessian blocks by hand
+    (grid.h:351-650, ✓ ddLdx_dx / ddLdx_ddLdy / ddLdx_dgrid); here ALL
+    blocks come from autodiff, so check_grads(order=2) covers a strict
+    superset — and deterministically (no atomicAdd nondet_tol needed).
+    """
+
+    @pytest.mark.parametrize("grid_type", [GridType.HASH, GridType.DENSE])
+    @pytest.mark.parametrize("interp",
+                             [InterpolationType.LINEAR,
+                              InterpolationType.SMOOTHSTEP])
+    def test_table_grads(self, grid_type, interp):
+        spec = grid_ops.make_grid_spec(2, 2, 2, 6, 4, 2.0,
+                                       grid_type=grid_type,
+                                       interpolation=interp)
+        table = jax.random.normal(key(12), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(13), (8, 2), minval=0.1, maxval=0.9)
+        check_grads(lambda t: grid_ops.grid_encode(spec, t, x), (table,),
+                    order=2, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+    def test_input_grads_smoothstep_second_order(self):
+        # Smoothstep is C¹ so d²y/dx² exists (the reference's
+        # bwd-bwd-input kernel needs smoothstep too, grid.h:457-623).
+        spec = grid_ops.make_grid_spec(
+            2, 2, 2, 6, 4, 2.0, interpolation=InterpolationType.SMOOTHSTEP)
+        table = jax.random.normal(key(14), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(15), (4, 2), minval=0.3, maxval=0.45)
+        check_grads(lambda x: grid_ops.grid_encode(spec, table, x), (x,),
+                    order=2, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+    def test_input_grads_linear_first_order(self):
+        spec = grid_ops.make_grid_spec(2, 2, 2, 6, 4, 2.0)
+        table = jax.random.normal(key(16), (spec.n_entries, 2)) * 0.1
+        # Stay away from cell boundaries where linear interp is not diff'able.
+        x = jnp.asarray(np.random.RandomState(0).uniform(0.31, 0.34, (4, 2)),
+                        jnp.float32)
+        check_grads(lambda x: grid_ops.grid_encode(spec, table, x), (x,),
+                    order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+    def test_backward_deterministic(self):
+        """Bit-identical grads across runs — stronger than the
+        reference's atomicAdd (nondet_tol=1e-3 in test_grid_bwdbwd)."""
+        spec = grid_ops.make_grid_spec(3, 4, 2, 8, 4, 1.5)
+        table = jax.random.normal(key(17), (spec.n_entries, 2))
+        x = jax.random.uniform(key(18), (4096, 3))
+
+        def loss(t):
+            return jnp.sum(grid_ops.grid_encode(spec, t, x) ** 2)
+
+        g1 = jax.jit(jax.grad(loss))(table)
+        g2 = jax.jit(jax.grad(loss))(table)
+        assert bool(jnp.all(g1 == g2))
+
+    def test_bwdbwd_api(self):
+        """Module-level backward_backward_input parity (object.h:270)."""
+        enc = tcnn.GridEncoding(2, n_levels=2, n_features_per_level=2,
+                                log2_hashmap_size=6, base_resolution=4,
+                                interpolation=InterpolationType.SMOOTHSTEP)
+        params = enc.init(key(19))
+        x = jax.random.uniform(key(20), (4, 2), minval=0.2, maxval=0.8)
+        dL_dy = jax.random.normal(key(21), (4, enc.n_output_dims))
+        dL_ddLdx = jax.random.normal(key(22), (4, 2))
+        ddLdy, dparams, dx = enc.backward_backward_input(
+            params, x, dL_dy, dL_ddLdx)
+        assert ddLdy.shape == dL_dy.shape
+        assert dx.shape == x.shape
+        assert jax.tree_util.tree_structure(
+            dparams) == jax.tree_util.tree_structure(params)

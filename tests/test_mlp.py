@@ -1,0 +1,139 @@
+"""MLP / FusedMLP tests: math against hand-rolled matmuls, init
+statistics, and the Pallas fused kernel (interpret mode on CPU) against
+the jnp reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tcnn
+from tcnn_tpu.common import Activation
+
+
+def key(i=0):
+    return jax.random.key(i)
+
+
+class TestMLP:
+    def test_matches_manual_matmuls(self):
+        mlp = tcnn.MLP(n_input_dims=4, n_output_dims=3, n_neurons=16,
+                       n_hidden_layers=2, activation=Activation.RELU)
+        params = mlp.init(key(1))
+        x = jax.random.normal(key(2), (8, 4))
+        y = np.asarray(mlp.apply(params, x))
+        h = np.asarray(x)
+        ws = [np.asarray(w) for w in params["layers"]]
+        h = np.maximum(h @ ws[0], 0)
+        h = np.maximum(h @ ws[1], 0)
+        expect = h @ ws[2]
+        np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-5)
+
+    def test_layer_shapes(self):
+        mlp = tcnn.MLP(n_input_dims=10, n_output_dims=7, n_neurons=32,
+                       n_hidden_layers=3)
+        params = mlp.init(key(3))
+        shapes = [w.shape for w in params["layers"]]
+        assert shapes == [(10, 32), (32, 32), (32, 32), (32, 7)]
+
+    def test_zero_hidden_layers_is_single_matmul(self):
+        # cutlass_mlp.cu:64-67 supports n_hidden_layers == 0.
+        mlp = tcnn.MLP(n_input_dims=4, n_output_dims=2, n_hidden_layers=0)
+        params = mlp.init(key(4))
+        assert [w.shape for w in params["layers"]] == [(4, 2)]
+        x = jax.random.normal(key(5), (8, 4))
+        np.testing.assert_allclose(
+            np.asarray(mlp.apply(params, x)),
+            np.asarray(x) @ np.asarray(params["layers"][0]),
+            rtol=1e-5, atol=1e-6)
+
+    def test_xavier_init_range(self):
+        mlp = tcnn.MLP(n_input_dims=64, n_output_dims=64, n_neurons=64,
+                       n_hidden_layers=2)
+        params = mlp.init(key(6))
+        w = np.asarray(params["layers"][1])
+        bound = np.sqrt(6.0 / 128.0)
+        assert np.abs(w).max() <= bound + 1e-6
+        assert np.abs(w).max() > bound * 0.8  # actually fills the range
+
+    def test_siren_init_first_layer_scaled(self):
+        mlp = tcnn.MLP(n_input_dims=2, n_output_dims=1, n_neurons=64,
+                       n_hidden_layers=2, activation=Activation.SINE)
+        params = mlp.init(key(7))
+        w0 = np.abs(np.asarray(params["layers"][0])).max()
+        w1 = np.abs(np.asarray(params["layers"][1])).max()
+        assert w0 <= 30.0 / 2 + 1e-5
+        assert w1 <= np.sqrt(6.0 / 64) + 1e-6
+
+    @pytest.mark.parametrize("act", list(Activation))
+    def test_all_activations_differentiable(self, act):
+        mlp = tcnn.MLP(n_input_dims=4, n_output_dims=2, n_neurons=16,
+                       n_hidden_layers=1, activation=act)
+        params = mlp.init(key(8))
+        x = jax.random.normal(key(9), (4, 4)) * 0.1
+
+        g = jax.grad(lambda p: jnp.sum(mlp.apply(p, x) ** 2))(params)
+        assert all(bool(jnp.all(jnp.isfinite(w)))
+                   for w in g["layers"])
+
+
+class TestFusedMLP:
+    def _pair(self, width=64, h=2, act=Activation.RELU,
+              out_act=Activation.NONE, d_in=32, d_out=16):
+        fused = tcnn.FusedMLP(
+            n_input_dims=d_in, n_output_dims=d_out, n_neurons=width,
+            n_hidden_layers=h, activation=act, output_activation=out_act,
+            use_pallas=True)
+        ref = tcnn.MLP(
+            n_input_dims=d_in, n_output_dims=d_out, n_neurons=width,
+            n_hidden_layers=h, activation=act, output_activation=out_act)
+        params = ref.init(key(10))
+        return fused, ref, params
+
+    def test_width_restriction(self):
+        with pytest.raises(ValueError, match="widths"):
+            tcnn.FusedMLP(n_input_dims=4, n_output_dims=4, n_neurons=48,
+                          n_hidden_layers=2)
+
+    @pytest.mark.parametrize("width", [16, 32, 64, 128])
+    def test_forward_matches_reference(self, width):
+        fused, ref, params = self._pair(width=width)
+        x = jax.random.uniform(key(11), (300, 32))  # non-multiple of tile
+        y_f = np.asarray(fused.apply(params, x))
+        y_r = np.asarray(ref.apply(params, x))
+        assert y_f.shape == y_r.shape == (300, 16)
+        np.testing.assert_allclose(y_f, y_r, rtol=1e-4, atol=1e-4)
+
+    def test_backward_matches_reference(self):
+        fused, ref, params = self._pair(width=32, h=3,
+                                        act=Activation.LEAKY_RELU)
+        x = jax.random.uniform(key(12), (256, 32))
+        t = jax.random.uniform(key(13), (256, 16))
+
+        def loss(m):
+            def f(p, xx):
+                return jnp.sum((m.apply(p, xx) - t) ** 2)
+            return f
+
+        gf_p, gf_x = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+        gr_p, gr_x = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                                   rtol=1e-3, atol=1e-3)
+        for a, b in zip(gf_p["layers"], gr_p["layers"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_single_hidden_layer(self):
+        fused, ref, params = self._pair(width=16, h=1)
+        x = jax.random.uniform(key(14), (64, 32))
+        np.testing.assert_allclose(np.asarray(fused.apply(params, x)),
+                                   np.asarray(ref.apply(params, x)),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_sine_activation(self):
+        fused, ref, params = self._pair(width=32, h=2, act=Activation.SINE,
+                                        out_act=Activation.SIGMOID)
+        x = jax.random.uniform(key(15), (128, 32))
+        np.testing.assert_allclose(np.asarray(fused.apply(params, x)),
+                                   np.asarray(ref.apply(params, x)),
+                                   rtol=1e-4, atol=1e-4)

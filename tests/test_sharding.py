@@ -1,0 +1,82 @@
+"""Multi-device data-parallel tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: the standard JAX trick replacing multi-host hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tcnn
+from tcnn_tpu.parallel import DataParallel, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices")
+
+
+def config():
+    return {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "n_features_per_level": 2, "log2_hashmap_size": 10,
+                     "base_resolution": 4, "per_level_scale": 1.5},
+        "network": {"otype": "MLP", "n_neurons": 32, "n_hidden_layers": 2},
+    }
+
+
+class TestDataParallel:
+    def test_mesh_covers_all_devices(self):
+        dp = DataParallel()
+        assert dp.n_devices == len(jax.devices())
+
+    def test_sharded_step_matches_single_device(self):
+        """DP training over 8 devices must produce the same loss curve
+        as single-device training (psum of grads == full-batch grads)."""
+        model_a = tcnn.create_from_config(2, 3, config())
+        model_b = tcnn.create_from_config(2, 3, config())
+        state_a = model_a.trainer.initial_state()
+        state_b = model_b.trainer.initial_state()
+
+        dp = DataParallel()
+        step_b = dp.make_training_step(model_b.trainer)
+        state_b = dp.replicate(state_b)
+
+        key = jax.random.key(0)
+        losses_a, losses_b = [], []
+        for i in range(5):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (8 * 64, 2))
+            t = jax.random.uniform(k2, (8 * 64, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, dp.shard_batch(x), dp.shard_batch(t))
+            losses_a.append(float(la))
+            losses_b.append(float(lb))
+        np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+
+    def test_sharded_inference(self):
+        model = tcnn.create_from_config(2, 3, config())
+        state = model.trainer.initial_state()
+        dp = DataParallel()
+        infer = dp.make_inference(model.trainer)
+        x = jax.random.uniform(jax.random.key(1), (8 * 32, 2))
+        y = infer(dp.replicate(state.params), dp.shard_batch(x))
+        y_ref = model.trainer.forward(state, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_indivisible_batch_raises(self):
+        dp = DataParallel()
+        with pytest.raises(ValueError, match="not divisible"):
+            dp.shard_batch(jnp.zeros((dp.n_devices * 4 + 1, 2)))
+
+    def test_submesh(self):
+        mesh = make_mesh(jax.devices()[:4])
+        dp = DataParallel(mesh)
+        assert dp.n_devices == 4
+        model = tcnn.create_from_config(2, 3, config())
+        state = dp.replicate(model.trainer.initial_state())
+        step = dp.make_training_step(model.trainer)
+        x = jax.random.uniform(jax.random.key(2), (4 * 16, 2))
+        t = jax.random.uniform(jax.random.key(3), (4 * 16, 3))
+        state, loss = step(state, dp.shard_batch(x), dp.shard_batch(t))
+        assert np.isfinite(float(loss))
