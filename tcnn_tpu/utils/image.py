@@ -91,14 +91,18 @@ class ImageSampler:
         # Texel-center convention: uv·size − 0.5.
         fx = xy[:, 0] * w - 0.5
         fy = xy[:, 1] * h - 0.5
-        x0 = jnp.floor(fx)
-        y0 = jnp.floor(fy)
-        tx = fx - x0
-        ty = fy - y0
-        x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-        y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        x1 = jnp.clip(x0 + 1, 0, w - 1)
-        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        x0f = jnp.floor(fx)
+        y0f = jnp.floor(fy)
+        tx = fx - x0f
+        ty = fy - y0f
+        # Clamp-to-edge on BOTH corners independently (so uv just
+        # outside the texel centers degrades to the edge texel).
+        x0i = x0f.astype(jnp.int32)
+        y0i = y0f.astype(jnp.int32)
+        x0 = jnp.clip(x0i, 0, w - 1)
+        y0 = jnp.clip(y0i, 0, h - 1)
+        x1 = jnp.clip(x0i + 1, 0, w - 1)
+        y1 = jnp.clip(y0i + 1, 0, h - 1)
         c00 = img[y0, x0]
         c01 = img[y0, x1]
         c10 = img[y1, x0]
