@@ -1,0 +1,115 @@
+"""Full benchmark sweep — the reference's bench_ours.cu protocol
+(benchmarks/image/bench_ours.cu:188-336): batch sizes 2^14..2^21 ×
+methods {FullyFusedMLP, MLP(CutlassMLP-equivalent)}, mean training and
+inference samples/s, dumped to bench_result_ours.json with the same
+top-level structure so downstream comparison tooling keeps working.
+
+Each (method, batch) cell measures a jitted lax.scan of training steps
+(one dispatch per chunk — the CUDA-graph-replay analog) with on-device
+data generation inside the loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_result_ours.json")
+    ap.add_argument("--min-pow", type=int, default=14)
+    ap.add_argument("--max-pow", type=int, default=21)
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(__file__), "..", "configs", "config_oneblob.json"))
+    ap.add_argument("--iters-scale", type=float, default=1.0,
+                    help="scale factor on the per-batch iteration count "
+                         "(use <1 for smoke runs)")
+    args = ap.parse_args()
+
+    import jax
+
+    import tcnn_tpu as tcnn
+    from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+
+    ref_img = "/root/reference/data/images/albert.jpg"
+    img = None
+    if os.path.exists(ref_img):
+        try:
+            img = load_image(ref_img)
+        except Exception:
+            img = None
+    if img is None:
+        img = synthetic_image(1024, 1024)
+    sampler = ImageSampler(img)
+
+    base_cfg = tcnn.load_config(args.config)
+    results = {"tcnn_tpu": {}}
+
+    for method, otype in (("fully_fused", "FullyFusedMLP"),
+                          ("cutlass", "MLP")):
+        method_results = []
+        for p in range(args.min_pow, args.max_pow + 1):
+            batch_size = 1 << p
+            cfg = json.loads(json.dumps(base_cfg))
+            cfg["network"]["otype"] = otype
+            model = tcnn.create_from_config(2, 3, cfg, policy=tcnn.BF16_POLICY)
+            state = model.trainer.initial_state()
+
+            # Match the reference's step-count scaling
+            # (bench_ours.cu:196-197): more steps for smaller batches.
+            n_iters = max(1000 * (1 << 18) // batch_size, 250)
+            n_iters = max(int(n_iters * args.iters_scale), 10)
+            chunk = min(max(n_iters // 10, 10), 100)
+            n_chunks = max(n_iters // chunk, 1)
+            warmup_chunks = max(n_chunks // 2, 1)
+
+            loop = model.trainer.make_training_loop(
+                lambda k, b=batch_size: sampler.sample_batch(k, b), chunk)
+            key = jax.random.key(0)
+            for i in range(warmup_chunks):
+                state, losses = loop(state, jax.random.fold_in(key, i))
+            jax.block_until_ready(losses)
+            t0 = time.perf_counter()
+            for i in range(n_chunks):
+                state, losses = loop(state, jax.random.fold_in(key, 1000 + i))
+            jax.block_until_ready(losses)
+            train_tp = n_chunks * chunk * batch_size / (time.perf_counter() - t0)
+
+            # Inference.
+            params = model.trainer.inference_params(state)
+            xy, _ = sampler.sample_batch(jax.random.key(1), batch_size)
+            infer = jax.jit(lambda p, x: model.network.inference(p, x))
+            jax.block_until_ready(infer(params, xy))
+            n_inf = max(n_iters // 5, 50)
+            t0 = time.perf_counter()
+            for _ in range(n_inf):
+                y = infer(params, xy)
+            jax.block_until_ready(y)
+            infer_tp = n_inf * batch_size / (time.perf_counter() - t0)
+
+            cell = {
+                "batch_size": batch_size,
+                "training_throughput": train_tp,
+                "inference_throughput": infer_tp,
+                "training_loss": float(losses[-1]),
+            }
+            method_results.append(cell)
+            print(f"{method} 2^{p}: train {train_tp:.3e}/s "
+                  f"infer {infer_tp:.3e}/s loss {cell['training_loss']:.4f}",
+                  flush=True)
+        results["tcnn_tpu"][method] = method_results
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
