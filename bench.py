@@ -31,12 +31,28 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the tunnel's remote compiles take
+    # 1-5 min for the scanned training loop; repeat bench runs load
+    # the serialized executable instead.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tcnn_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import tcnn_tpu as tcnn
     from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
 
+    import sys
+
     batch_size = int(os.environ.get("TCNN_BENCH_BATCH", 1 << 18))
     n_train_steps = int(os.environ.get("TCNN_BENCH_STEPS", 1000))
-    chunk = int(os.environ.get("TCNN_BENCH_CHUNK", 100))
+    # Short chunks: the axon tunnel's worker watchdog kills dispatches
+    # that run long when the worker is degraded; 10-step chunks keep
+    # every dispatch well under the deadline while still amortizing
+    # host round trips (dispatch overhead ~0.2 ms, chunk ~3 ms).
+    chunk = int(os.environ.get("TCNN_BENCH_CHUNK", 10))
 
     # Bench image: the reference's bundled photo if mounted, else synthetic.
     ref_img = "/root/reference/data/images/albert.jpg"
@@ -54,15 +70,35 @@ def main():
                                     policy=tcnn.BF16_POLICY)
     state = model.trainer.initial_state()
 
-    def sample_fn(key):
-        return sampler.sample_batch(key, batch_size)
+    def sample_fn(key, pool):
+        return ImageSampler.sample_from_pool(key, pool, batch_size)
 
-    loop = model.trainer.make_training_loop(sample_fn, chunk)
+    loop = model.trainer.make_training_loop(sample_fn, chunk,
+                                            sample_data=sampler.pool_data())
 
     # Warmup: compile + one chunk of steady-state.
+    print("bench: compiling training loop...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     key = jax.random.key(0)
     state, losses = loop(state, jax.random.fold_in(key, 0))
     jax.block_until_ready(losses)
+    print(f"bench: compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # Probe for the degraded-worker state (the tunnel worker sometimes
+    # comes up ~10^4× slow after a crash; same executable, same data).
+    # If a chunk that normally takes ~3 ms takes >1 s, wait and retry —
+    # the worker usually recovers.
+    for attempt in range(10):
+        t0 = time.perf_counter()
+        state, losses = loop(state, jax.random.fold_in(key, 1000 + attempt))
+        jax.block_until_ready(losses)
+        probe = time.perf_counter() - t0
+        if probe < 1.0:
+            break
+        print(f"warning: degraded device (probe chunk {probe:.1f}s), "
+              f"retry {attempt + 1}/10 in 30s", file=sys.stderr, flush=True)
+        time.sleep(30)
 
     n_chunks = max(n_train_steps // chunk, 1)
     t0 = time.perf_counter()
@@ -72,20 +108,23 @@ def main():
     t1 = time.perf_counter()
     train_time = t1 - t0
     train_throughput = n_chunks * chunk * batch_size / train_time
+    print(f"bench: train {n_chunks * chunk} steps in {train_time:.2f}s",
+          file=sys.stderr, flush=True)
 
     # Inference throughput: one dispatch over a chunk of batches.
     params = model.trainer.inference_params(state)
     xy, _ = sampler.sample_batch(jax.random.key(7), batch_size)
 
     def infer_chunk(params, xy):
-        def body(_, i):
-            y = model.network.inference(params, xy)
-            return (), jnp.sum(y)
+        # jnp.sum keeps each iteration live; fori_loop (not scan) keeps
+        # the compiled program minimal.
+        def body(i, acc):
+            return acc + jnp.sum(model.network.inference(params, xy))
 
-        _, sums = jax.lax.scan(body, (), jnp.arange(chunk))
-        return sums
+        return jax.lax.fori_loop(0, chunk, body, jnp.float32(0))
 
     infer = jax.jit(infer_chunk)
+    print("bench: compiling inference loop...", file=sys.stderr, flush=True)
     jax.block_until_ready(infer(params, xy))
     n_inf_chunks = max(n_chunks, 2)
     t0 = time.perf_counter()

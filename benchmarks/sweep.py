@@ -46,7 +46,8 @@ def main():
         except Exception:
             img = None
     if img is None:
-        img = synthetic_image(1024, 1024)
+        # 2048² → 4.2M-pixel pool, comfortably above the largest batch (2^21).
+        img = synthetic_image(2048, 2048)
     sampler = ImageSampler(img)
 
     base_cfg = tcnn.load_config(args.config)
@@ -66,12 +67,18 @@ def main():
             # (bench_ours.cu:196-197): more steps for smaller batches.
             n_iters = max(1000 * (1 << 18) // batch_size, 250)
             n_iters = max(int(n_iters * args.iters_scale), 10)
-            chunk = min(max(n_iters // 10, 10), 100)
+            # Chunk ≤ 20: keeps every dispatch short (tunnel-watchdog
+            # safe) while amortizing host round trips.
+            chunk = min(max(n_iters // 10, 10), 20)
             n_chunks = max(n_iters // chunk, 1)
             warmup_chunks = max(n_chunks // 2, 1)
 
+            # Pool passed as jit argument, NOT closure-captured (large
+            # captured arrays become constants in the compiled program).
             loop = model.trainer.make_training_loop(
-                lambda k, b=batch_size: sampler.sample_batch(k, b), chunk)
+                lambda k, pool, b=batch_size:
+                    ImageSampler.sample_from_pool(k, pool, b),
+                chunk, sample_data=sampler.pool_data())
             key = jax.random.key(0)
             for i in range(warmup_chunks):
                 state, losses = loop(state, jax.random.fold_in(key, i))

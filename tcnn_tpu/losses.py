@@ -56,6 +56,14 @@ class Loss:
     def hyperparams(self) -> Dict[str, Any]:
         return {"otype": type(self).__name__.replace("Loss", "")}
 
+    def update_hyperparams(self, cfg: Dict[str, Any]) -> None:
+        """Losses are stateless in the reference too; only reject
+        attempts to change anything (≈ Object::update_hyperparams)."""
+        cfg = {k: v for k, v in cfg.items() if k.lower() != "otype"}
+        if cfg:
+            raise NotImplementedError(
+                f"{type(self).__name__} cannot update {list(cfg)}")
+
 
 class L2Loss(Loss):
     """diff²/pdf (l2.h:40-75)."""

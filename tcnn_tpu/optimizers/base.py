@@ -72,6 +72,16 @@ class Optimizer:
     def hyperparams(self) -> Dict[str, Any]:
         raise NotImplementedError
 
+    def update_hyperparams(self, cfg: Dict[str, Any]) -> None:
+        """Runtime hyperparameter update (≈ Object::update_hyperparams,
+        object.h:56-61; Adam impl adam.h:240-270).  Callers that hold
+        jitted step closures must re-jit afterwards —
+        ``Trainer.update_hyperparams`` does this automatically."""
+        cfg = {k: v for k, v in cfg.items() if k.lower() != "otype"}
+        if cfg:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support updating {list(cfg)}")
+
     @property
     def name(self) -> str:
         return str(self.hyperparams().get("otype", type(self).__name__))

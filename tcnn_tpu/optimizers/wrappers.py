@@ -34,6 +34,15 @@ class _Nesting(Optimizer):
     def learning_rate(self):
         return self._nested.learning_rate
 
+    def update_hyperparams(self, cfg):
+        # Wrappers forward "nested" updates like the reference wrappers
+        # do (e.g. exponential_decay.h update_hyperparams).
+        cfg = dict(cfg)
+        nested_cfg = cfg.pop("nested", None)
+        if nested_cfg:
+            self._nested.update_hyperparams(nested_cfg)
+        super().update_hyperparams(cfg)
+
 
 class EMA(_Nesting):
     """EMA of the optimized weights, used for inference only

@@ -69,11 +69,10 @@ class Trainer:
         self.loss = loss
         self.policy = policy or model.policy
         self.seed = seed
-        if perturbation_sigma is not None:
-            # Reference: optional logistic output perturbation for
-            # dithering (trainer.h:114-123).  Deferred — raise loudly
-            # rather than silently ignoring.
-            raise NotImplementedError("output perturbation not yet implemented")
+        # Optional logistic output perturbation for dithering
+        # (trainer.h:114-123): during training, predictions are jittered
+        # with logistic noise of this scale before the loss.
+        self.perturbation_sigma = perturbation_sigma
         self._jit_cache: Dict[Any, Any] = {}
 
     # -- state --------------------------------------------------------
@@ -90,15 +89,21 @@ class Trainer:
         return self.model.n_params(state.params)
 
     # -- core step ----------------------------------------------------
-    def loss_value_and_grads(self, params, x, target, pdf=None):
+    def loss_value_and_grads(self, params, x, target, pdf=None, step=None):
         def scalar_loss(p):
-            pred = self.model.apply(p, x)
-            return self.loss(pred.astype(jnp.float32), target, pdf)
+            pred = self.model.apply(p, x).astype(jnp.float32)
+            if self.perturbation_sigma and step is not None:
+                key = jax.random.fold_in(jax.random.key(self.seed ^ 0x5eed),
+                                         step)
+                noise = jax.random.logistic(key, pred.shape, jnp.float32)
+                pred = pred + self.perturbation_sigma * noise
+            return self.loss(pred, target, pdf)
 
         return jax.value_and_grad(scalar_loss)(params)
 
     def _training_step(self, state: TrainerState, x, target, pdf):
-        loss_value, grads = self.loss_value_and_grads(state.params, x, target, pdf)
+        loss_value, grads = self.loss_value_and_grads(
+            state.params, x, target, pdf, step=state.step)
         opt_state, params = self.optimizer.step(state.opt_state, grads,
                                                 state.params)
         return TrainerState(params=params, opt_state=opt_state,
@@ -121,7 +126,7 @@ class Trainer:
         return self._jitted_step(state, x, target, pdf)
 
     # -- multi-step loops (CUDA-graph-replay analog) ------------------
-    def make_training_loop(self, sample_fn, n_steps: int):
+    def make_training_loop(self, sample_fn, n_steps: int, sample_data=None):
         """Compile ``n_steps`` training steps into ONE executable.
 
         The reference replays a captured CUDA graph per step to kill
@@ -131,22 +136,30 @@ class Trainer:
         data generation runs on-device inside the loop.
 
         Args:
-          sample_fn: key -> (x, target); traced inside the scan (e.g. an
-            ImageSampler closure generating random pixel batches).
+          sample_fn: ``key -> (x, target)`` — or, when ``sample_data``
+            is given, ``(key, data) -> (x, target)``; traced inside the
+            scan (e.g. an ImageSampler generating random pixel batches).
           n_steps: static step count per call.
+          sample_data: optional device pytree (e.g. a pixel pool) passed
+            through as a jit *argument*.  Large arrays must flow this
+            way — a closure capture would embed them as constants in
+            the compiled program.
 
         Returns a jitted ``loop(state, key) -> (state, losses[n_steps])``.
         """
+        has_data = sample_data is not None
 
-        def loop(state, key):
+        def loop(state, key, data):
             def body(st, i):
-                x, t = sample_fn(jax.random.fold_in(key, i))
+                k = jax.random.fold_in(key, i)
+                x, t = sample_fn(k, data) if has_data else sample_fn(k)
                 st, loss = self._training_step(st, x, t, None)
                 return st, loss
 
             return jax.lax.scan(body, state, jnp.arange(n_steps))
 
-        return jax.jit(loop, donate_argnums=(0,))
+        jitted = jax.jit(loop, donate_argnums=(0,))
+        return lambda state, key: jitted(state, key, sample_data)
 
     def training_loop(self, state: TrainerState, xs, targets):
         """Run one training step per pool entry, all in one dispatch.
@@ -191,6 +204,23 @@ class Trainer:
     def evaluate_loss(self, state: TrainerState, x, target, pdf=None) -> jax.Array:
         pred = self.forward(state, x)
         return self.loss(pred.astype(jnp.float32), target, pdf)
+
+    # -- runtime hyperparameters ---------------------------------------
+    def update_hyperparams(self, cfg: Dict[str, Any]) -> None:
+        """Runtime update of loss/optimizer hyperparams
+        (trainer.h:213-224).  Invalidate all jitted step closures so the
+        new values take effect on the next call."""
+        if "optimizer" in cfg:
+            self.optimizer.update_hyperparams(cfg["optimizer"])
+        if "loss" in cfg:
+            self.loss.update_hyperparams(cfg["loss"])
+        self.invalidate_jit_cache()
+
+    def invalidate_jit_cache(self) -> None:
+        for attr in ("_jitted_step", "_jitted_step_no_pdf",
+                     "_jitted_inference", "_jitted_forward"):
+            self.__dict__.pop(attr, None)
+        self._jit_cache.clear()
 
     # -- checkpointing ------------------------------------------------
     def serialize(self, state: TrainerState,

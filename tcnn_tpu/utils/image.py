@@ -71,18 +71,53 @@ def synthetic_image(height: int = 512, width: int = 512,
 
 
 class ImageSampler:
-    """On-device bilinear image sampler (texture-unit replacement).
+    """On-device image sampler (texture-unit replacement).
 
-    ``sample_batch(key, n)`` → (xy in [0,1]^2, rgb) with xy uniform
-    random, matching the reference's training-data generator
-    (mlp_learning_an_image.cu:229-243, which samples the CUDA texture
-    with linear filtering at random uvs).
+    The reference generates training data by sampling a CUDA texture at
+    random uvs each step (mlp_learning_an_image.cu:229-243) — free on a
+    GPU because texture units hardware-accelerate random gathers.  A TPU
+    has no texture unit: an XLA gather of 2^18 random rows from a
+    >100 MB image costs ~10 ms (HBM random-access latency bound), which
+    would dominate the ~0.1 ms training step.  The TPU-native design is
+    therefore **shuffled-epoch sampling**: at init, every texel center
+    (xy, rgb) is written into a flat pool in a random permutation; each
+    ``sample_batch`` reads a contiguous window at a random offset — one
+    sequential-DMA ``dynamic_slice`` at full HBM bandwidth (~µs).  Each
+    batch is a uniform random sample of pixels without replacement
+    (standard shuffled SGD), and each pixel is marginally equally
+    likely across steps.
+
+    ``sample_batch_bilinear`` keeps the reference-exact path (random
+    continuous uvs + bilinear filter) for parity checks; ``sample_at``
+    does filtered lookups for arbitrary coordinates.
     """
 
-    def __init__(self, image: np.ndarray):
+    def __init__(self, image: np.ndarray, pool: bool = True, seed: int = 0):
         self.image = jnp.asarray(image, jnp.float32)
         self.height, self.width = image.shape[:2]
         self._jit_sample_at = jax.jit(self.sample_at)
+        self._pool_xy = None
+        self._pool_rgb = None
+        if pool:
+            self._build_pool(seed)
+
+    def _build_pool(self, seed: int) -> None:
+        h, w = self.height, self.width
+        n = h * w
+        key = jax.random.key(seed)
+        perm = jax.random.permutation(key, n)
+
+        @jax.jit
+        def build(img, perm):
+            ys, xs = jnp.divmod(perm, w)
+            u = (xs.astype(jnp.float32) + 0.5) / w
+            v = (ys.astype(jnp.float32) + 0.5) / h
+            xy = jnp.stack([u, v], axis=-1)
+            rgb = jnp.take(img.reshape(n, -1), perm, axis=0)
+            return xy, rgb
+
+        self._pool_xy, self._pool_rgb = build(self.image, perm)
+        self._pool_n = n
 
     def sample_at(self, xy: jax.Array) -> jax.Array:
         """Bilinear lookup at normalized coords (B, 2) [x, y] in [0,1]."""
@@ -112,9 +147,51 @@ class ImageSampler:
         return ((1 - ty) * ((1 - tx) * c00 + tx * c01)
                 + ty * ((1 - tx) * c10 + tx * c11))
 
+    def pool_data(self) -> Tuple[jax.Array, jax.Array]:
+        """The (xy, rgb) pool as a pytree, to pass as a jit ARGUMENT
+        (e.g. via Trainer.make_training_loop's ``sample_data``) — big
+        arrays must not be closure-captured into compiled programs."""
+        if self._pool_xy is None:
+            raise ValueError("sampler built with pool=False")
+        return self._pool_xy, self._pool_rgb
+
+    @staticmethod
+    def sample_from_pool(key: jax.Array, pool: Tuple[jax.Array, jax.Array],
+                         n: int) -> Tuple[jax.Array, jax.Array]:
+        """Pure traceable pool sampler: contiguous window of the
+        shuffled pixel pool at a random offset."""
+        pool_xy, pool_rgb = pool
+        pn = pool_xy.shape[0]
+        if n >= pn:
+            # Batch exceeds the pool (tiny images in tests): wraparound
+            # gather.  Pool is small, so the gather is cheap.
+            off = jax.random.randint(key, (), 0, pn)
+            idx = (off + jnp.arange(n)) % pn
+            return jnp.take(pool_xy, idx, axis=0), jnp.take(pool_rgb, idx, axis=0)
+        off = jax.random.randint(key, (), 0, pn - n)
+        xy = jax.lax.dynamic_slice_in_dim(pool_xy, off, n)
+        rgb = jax.lax.dynamic_slice_in_dim(pool_rgb, off, n)
+        return xy, rgb
+
     def sample_batch(self, key: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
+        """(xy, rgb) training batch; traceable (usable inside scan/jit).
+
+        Pool mode (default): contiguous window of the shuffled pixel
+        pool at a random offset.  Without a pool: reference-exact
+        bilinear sampling at random uvs.  NOTE: inside a jit/scan this
+        closure-captures the pool; prefer ``pool_data`` +
+        ``sample_from_pool`` there so the pool stays an argument."""
+        if self._pool_xy is None:
+            return self.sample_batch_bilinear(key, n)
+        return self.sample_from_pool(key, (self._pool_xy, self._pool_rgb), n)
+
+    def sample_batch_bilinear(self, key: jax.Array,
+                              n: int) -> Tuple[jax.Array, jax.Array]:
+        """Reference-exact batch: uniform random uvs + bilinear filter
+        (mlp_learning_an_image.cu:229-243).  ~100× slower than pool
+        mode on TPU — use for parity checks, not throughput paths."""
         xy = jax.random.uniform(key, (n, 2), jnp.float32)
-        return xy, self._jit_sample_at(xy)
+        return xy, self.sample_at(xy)
 
     def full_grid_coords(self) -> jax.Array:
         """Pixel-center coords of the full image, for inference dumps

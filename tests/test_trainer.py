@@ -183,3 +183,67 @@ class TestModuleAPI:
             np.asarray(g[:, 0]),
             np.asarray(jnp.pi * jnp.cos(jnp.pi * x[:, 0])), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(g[:, 1]), 0.0, atol=1e-6)
+
+
+class TestRuntimeHyperparams:
+    """≈ trainer.h:213-224 update_hyperparams + trainer.h:114-123
+    output perturbation."""
+
+    def test_update_learning_rate_takes_effect(self):
+        m = tcnn.create_from_config(2, 3, small_hash_config())
+        st = m.trainer.initial_state()
+        x = jax.random.uniform(jax.random.key(0), (256, 2))
+        t = jax.random.uniform(jax.random.key(1), (256, 3))
+        st, _ = m.trainer.training_step(st, x, t)
+
+        m.trainer.update_hyperparams(
+            {"optimizer": {"otype": "Adam", "learning_rate": 0.0}})
+        assert m.optimizer.learning_rate == 0.0
+        # Materialize before stepping: training_step donates the state.
+        p_before = [np.asarray(p) for p in jax.tree_util.tree_leaves(st.params)]
+        st2, _ = m.trainer.training_step(st, x, t)
+        p_after = jax.tree_util.tree_leaves(st2.params)
+        for a, b in zip(p_before, p_after):
+            np.testing.assert_allclose(a, np.asarray(b))
+
+    def test_unknown_key_rejected(self):
+        m = tcnn.create_from_config(2, 3, small_hash_config())
+        with pytest.raises(NotImplementedError):
+            m.trainer.update_hyperparams({"optimizer": {"bogus": 1}})
+
+    def test_wrapper_forwards_nested(self):
+        cfg = small_hash_config()
+        cfg["optimizer"] = {"otype": "ExponentialDecay",
+                            "decay_start": 100, "decay_interval": 100,
+                            "decay_base": 0.5,
+                            "nested": {"otype": "Adam", "learning_rate": 1e-2}}
+        m = tcnn.create_from_config(2, 3, cfg)
+        m.trainer.update_hyperparams(
+            {"optimizer": {"nested": {"learning_rate": 3e-3}}})
+        assert abs(m.optimizer.nested(0).learning_rate - 3e-3) < 1e-12
+
+    def test_output_perturbation_dithers_loss(self):
+        cfg = small_hash_config()
+        m = tcnn.create_from_config(2, 3, cfg)
+        m.trainer.perturbation_sigma = 0.1
+        m.trainer.invalidate_jit_cache()
+        st = m.trainer.initial_state()
+        x = jax.random.uniform(jax.random.key(0), (256, 2))
+        t = jax.random.uniform(jax.random.key(1), (256, 3))
+        # Same state/batch but different step counters -> different
+        # noise.  training_step donates the state, so evaluate the loss
+        # undonated instead.
+        l1 = m.trainer.loss_value_and_grads(st.params, x, t, step=st.step)[0]
+        l2 = m.trainer.loss_value_and_grads(st.params, x, t,
+                                            step=st.step + 7)[0]
+        assert float(l1) != float(l2)
+        # And training still converges with dithering on.
+        st2 = m.trainer.initial_state()
+        losses = []
+        for i in range(30):
+            k = jax.random.fold_in(jax.random.key(5), i)
+            xb = jax.random.uniform(k, (512, 2))
+            tb = jnp.concatenate([xb, xb[:, :1]], axis=1)
+            st2, loss = m.trainer.training_step(st2, xb, tb)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
