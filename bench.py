@@ -47,7 +47,7 @@ def main():
     import sys
 
     batch_size = int(os.environ.get("TCNN_BENCH_BATCH", 1 << 18))
-    n_train_steps = int(os.environ.get("TCNN_BENCH_STEPS", 1000))
+    n_train_steps = int(os.environ.get("TCNN_BENCH_STEPS", 300))
     # Short chunks: the axon tunnel's worker watchdog kills dispatches
     # that run long when the worker is degraded; 10-step chunks keep
     # every dispatch well under the deadline while still amortizing
@@ -76,35 +76,42 @@ def main():
     loop = model.trainer.make_training_loop(sample_fn, chunk,
                                             sample_data=sampler.pool_data())
 
+    # NOTE on timing: on the axon tunnel, jax.block_until_ready reports
+    # readiness when work is ENQUEUED, not when the device finishes —
+    # measured 0.03s "block" vs 831s true completion.  Every timing here
+    # therefore syncs by actually READING data back (device_get), which
+    # cannot complete before the producing computation has.
+    def fetch(x):
+        import numpy as _np
+        return float(_np.asarray(jax.device_get(x)).ravel()[0])
+
     # Warmup: compile + one chunk of steady-state.
     print("bench: compiling training loop...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     key = jax.random.key(0)
     state, losses = loop(state, jax.random.fold_in(key, 0))
-    jax.block_until_ready(losses)
+    fetch(losses)
     print(f"bench: compile+warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    # Probe for the degraded-worker state (the tunnel worker sometimes
-    # comes up ~10^4× slow after a crash; same executable, same data).
-    # If a chunk that normally takes ~3 ms takes >1 s, wait and retry —
-    # the worker usually recovers.
-    for attempt in range(10):
+    # Probe for a sick tunnel worker (rare: a crashed predecessor can
+    # leave the device ~100× slow until the service recycles it).
+    for attempt in range(5):
         t0 = time.perf_counter()
         state, losses = loop(state, jax.random.fold_in(key, 1000 + attempt))
-        jax.block_until_ready(losses)
+        fetch(losses)
         probe = time.perf_counter() - t0
-        if probe < 1.0:
+        if probe < 60.0 * max(chunk / 10, 1):
             break
         print(f"warning: degraded device (probe chunk {probe:.1f}s), "
-              f"retry {attempt + 1}/10 in 30s", file=sys.stderr, flush=True)
+              f"retry {attempt + 1}/5 in 30s", file=sys.stderr, flush=True)
         time.sleep(30)
 
     n_chunks = max(n_train_steps // chunk, 1)
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, losses = loop(state, jax.random.fold_in(key, i + 1))
-    jax.block_until_ready(losses)
+    final_loss = fetch(losses[-1:])
     t1 = time.perf_counter()
     train_time = t1 - t0
     train_throughput = n_chunks * chunk * batch_size / train_time
@@ -115,24 +122,28 @@ def main():
     params = model.trainer.inference_params(state)
     xy, _ = sampler.sample_batch(jax.random.key(7), batch_size)
 
-    def infer_chunk(params, xy):
-        # jnp.sum keeps each iteration live; fori_loop (not scan) keeps
-        # the compiled program minimal.
-        def body(i, acc):
-            return acc + jnp.sum(model.network.inference(params, xy))
+    # Chained inference: each call's input depends on the previous
+    # call's output, so the device genuinely serializes the work — a
+    # free-running pipeline on the tunnel over-reports completion.
+    # (Looping inference inside one compiled scan/fori hangs the remote
+    # compiler; plain chained dispatches sidestep that.)
+    def infer_step(params, xy, carry):
+        y = model.network.inference(params, xy + carry * jnp.float32(1e-30))
+        return y[0, 0]
 
-        return jax.lax.fori_loop(0, chunk, body, jnp.float32(0))
-
-    infer = jax.jit(infer_chunk)
-    print("bench: compiling inference loop...", file=sys.stderr, flush=True)
-    jax.block_until_ready(infer(params, xy))
-    n_inf_chunks = max(n_chunks, 2)
+    infer = jax.jit(infer_step)
+    print("bench: compiling inference step...", file=sys.stderr, flush=True)
+    carry = infer(params, xy, jnp.float32(0))
+    fetch(carry)
+    n_inf = max(n_chunks * chunk, 100)
     t0 = time.perf_counter()
-    for _ in range(n_inf_chunks):
-        s = infer(params, xy)
-    jax.block_until_ready(s)
+    for _ in range(n_inf):
+        carry = infer(params, xy, carry)
+    fetch(carry)
     t1 = time.perf_counter()
-    infer_throughput = n_inf_chunks * chunk * batch_size / (t1 - t0)
+    infer_throughput = n_inf * batch_size / (t1 - t0)
+    print(f"bench: inference {n_inf} batches in {t1 - t0:.2f}s",
+          file=sys.stderr, flush=True)
 
     result = {
         "metric": "image-fit training throughput (HashGrid L16F2 + "
@@ -141,7 +152,7 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(train_throughput / REFERENCE_TRAIN_SAMPLES_PER_SEC, 4),
         "inference_samples_per_sec": round(infer_throughput, 1),
-        "final_loss": float(losses[-1]),
+        "final_loss": final_loss,
         "batch_size": batch_size,
         "n_steps": n_chunks * chunk,
         "train_seconds": round(train_time, 3),

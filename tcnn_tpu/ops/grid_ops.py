@@ -211,11 +211,28 @@ def _interp_weight(f: jax.Array, interp: InterpolationType) -> jax.Array:
     raise ValueError(f"bad interpolation {interp}")
 
 
+def _default_fast_scatter() -> bool:
+    """Pallas deterministic-scatter backward on real TPU; pure-XLA
+    scatter on CPU (tests run the kernel in interpret mode anyway via
+    TCNN_TPU_FORCE_FAST_SCATTER)."""
+    import os
+
+    if os.environ.get("TCNN_TPU_FORCE_FAST_SCATTER"):
+        return True
+    if os.environ.get("TCNN_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def grid_encode(
     spec: GridSpec,
     table: jax.Array,
     x: jax.Array,
     max_level: Optional[int] = None,
+    fast_scatter: Optional[bool] = None,
 ) -> jax.Array:
     """Forward grid encoding.
 
@@ -229,9 +246,21 @@ def grid_encode(
 
     Returns (B, L·F) features, level-major (level l occupies columns
     [l·F, (l+1)·F)), matching the reference's SoA output order.
+
+    ``fast_scatter`` selects the Pallas deterministic scatter-add for
+    the table-gradient transpose (reverse-mode only); the default picks
+    it on TPU backends.  The forward gather is XLA's (already at its
+    issue-rate floor); only d/dtable changes, and both paths are
+    deterministic and numerically identical modulo fp32 add order.
     """
     if x.ndim != 2 or x.shape[1] != spec.n_dims:
         raise ValueError(f"expected (B, {spec.n_dims}) input, got {x.shape}")
+    if fast_scatter is None:
+        fast_scatter = _default_fast_scatter()
+    if fast_scatter:
+        from .pallas.scatter import fast_take as take_fn
+    else:
+        take_fn = lambda t, i: jnp.take(t, i, axis=0)  # noqa: E731
     B = x.shape[0]
     F = spec.n_features_per_level
     corners = jnp.asarray(_corner_offsets(spec.n_dims), dtype=jnp.uint32)  # (C, D)
@@ -250,7 +279,7 @@ def grid_encode(
         w1 = _interp_weight(f, spec.interpolation)          # weight of the +1 corner
         corner_pos = cell[:, None, :] + corners[None, :, :]          # (B, C, D)
         idx = level_indices(spec, level, corner_pos)                 # (B, C)
-        feats = jnp.take(table, idx.reshape(-1), axis=0)             # (B·C, F)
+        feats = take_fn(table, idx.reshape(-1))                      # (B·C, F)
         feats = feats.reshape(B, -1, F)
         # weight product over dims: corner bit d set → w1_d else 1−w1_d
         cw = jnp.where(corners[None, :, :].astype(bool),
