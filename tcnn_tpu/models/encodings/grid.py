@@ -64,8 +64,11 @@ class GridEncoding(Encoding):
 
     # -- parameters ---------------------------------------------------
     def init(self, key):
+        # FLAT (n_entries·F,) storage: compact 1-D TPU layout — a skinny
+        # (N, F) param would lane-pad 128/F× and tax every optimizer
+        # pass over it (and its mu/nu/step state) by the same factor.
         return {"grid": grid_ops.init_grid_params(
-            key, self.spec, dtype=self.policy.param_dtype)}
+            key, self.spec, dtype=self.policy.param_dtype).reshape(-1)}
 
     def param_layout(self, params):
         # Hash tables are "non-matrix" params: Adam applies
@@ -85,9 +88,15 @@ class GridEncoding(Encoding):
         return self.spec.levels[level].size * self.spec.n_features_per_level
 
     # -- compute ------------------------------------------------------
-    def apply(self, params, x):
+    # SoA (feature-major) output is this encoding's native layout —
+    # mirrors the reference's preferred_output_layout=SoA
+    # (grid.h:1053-1055); consumers that accept it (FusedMLP) avoid an
+    # expensive minor-dim assembly of the (B, L·F) view.
+    prefers_soa = True
+
+    def apply(self, params, x, soa: bool = False):
         y = grid_ops.grid_encode(self.spec, params["grid"], x,
-                                 max_level=self.max_level)
+                                 max_level=self.max_level, soa=soa)
         return y.astype(self.policy.compute_dtype)
 
     def required_output_alignment(self) -> int:

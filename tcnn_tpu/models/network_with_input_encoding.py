@@ -52,11 +52,29 @@ class NetworkWithInputEncoding(Module):
             "network": self.network.param_layout(params["network"]),
         }
 
+    @property
+    def _use_soa(self) -> bool:
+        # SoA (feature-major) hand-off — the encoding's preferred layout
+        # flows straight into the network kernel, exactly the
+        # preferred_output_layout negotiation of the reference
+        # (network_with_input_encoding.h:70-81), minus the transpose
+        # kernel the reference needs for AoS consumers.
+        return (getattr(self.encoding, "prefers_soa", False)
+                and getattr(self.network, "accepts_soa_input", False))
+
     def apply(self, params, x):
+        if self._use_soa:
+            feats = self.encoding.apply(params["encoding"], x, soa=True)
+            return self.network.apply(params["network"], feats,
+                                      input_soa=True)
         feats = self.encoding.apply(params["encoding"], x)
         return self.network.apply(params["network"], feats)
 
     def inference(self, params, x):
+        if self._use_soa:
+            feats = self.encoding.inference(params["encoding"], x, soa=True)
+            return self.network.inference(params["network"], feats,
+                                          input_soa=True)
         feats = self.encoding.inference(params["encoding"], x)
         return self.network.inference(params["network"], feats)
 

@@ -59,7 +59,11 @@ class FusedMLP(MLP):
         self.use_pallas = (_pallas_supported() if use_pallas is None
                            else use_pallas)
 
-    def apply(self, params, x):
+    # Accepts (D_in, B) feature-major input (the grid encoding's native
+    # layout) — the kernel contracts the transposed operand on the MXU.
+    accepts_soa_input = True
+
+    def apply(self, params, x, input_soa: bool = False):
         if self.use_pallas and self._n_hidden_layers >= 1:
             from ...ops.pallas import fused_mlp as kernels
 
@@ -69,14 +73,15 @@ class FusedMLP(MLP):
                 output_activation=self.output_activation,
                 compute_dtype=self.policy.compute_dtype,
                 output_dtype=self.policy.output_dtype,
+                input_soa=input_soa,
             )
-        return super().apply(params, x)
+        return super().apply(params, x.T if input_soa else x)
 
-    def inference(self, params, x):
+    def inference(self, params, x, input_soa: bool = False):
         # Same entry point: the custom_vjp forward already avoids
         # stashing activations unless a gradient is actually pulled
         # (XLA DCEs the residual outputs in inference graphs).
-        return self.apply(params, x)
+        return self.apply(params, x, input_soa=input_soa)
 
 
 register_network(

@@ -68,14 +68,15 @@ class Module:
         """Forward pass: (B, n_input_dims) -> (B, n_output_dims)."""
         raise NotImplementedError
 
-    def inference(self, params: Params, x: jax.Array) -> jax.Array:
+    def inference(self, params: Params, x: jax.Array, **kwargs) -> jax.Array:
         """Forward without gradient bookkeeping (≈ object.h:147).
 
         Under jit, XLA dead-code-eliminates unused residuals, so this is
         simply ``apply``; subclasses may override with a cheaper kernel
         (e.g. the fused-MLP inference kernel skips storing activations).
+        Layout kwargs (e.g. ``soa``) pass through to ``apply``.
         """
-        return self.apply(params, x)
+        return self.apply(params, x, **kwargs)
 
     # ---- explicit differentiation API (parity with object.h) --------
     def forward(self, params: Params, x: jax.Array):

@@ -233,6 +233,7 @@ def grid_encode(
     x: jax.Array,
     max_level: Optional[int] = None,
     fast_scatter: Optional[bool] = None,
+    soa: bool = False,
 ) -> jax.Array:
     """Forward grid encoding.
 
@@ -243,9 +244,15 @@ def grid_encode(
       max_level: optional static level cutoff — levels ≥ max_level emit
         zeros (and receive zero grads), matching the reference's
         max_level masking (grid.h:69-92).
+      soa: emit (L·F, B) instead of (B, L·F).  SoA is the reference's
+        preferred grid layout (grid.h:1053-1055) and the TPU-efficient
+        one: assembling (B, L·F) from per-level pieces is a minor-dim
+        concat of 2-wide strips — lane-strided shuffles that cost more
+        than the whole gather when the result must materialize for a
+        Pallas consumer.  Feature-major rows stack for free.
 
-    Returns (B, L·F) features, level-major (level l occupies columns
-    [l·F, (l+1)·F)), matching the reference's SoA output order.
+    Returns (B, L·F) features (or the SoA transpose), level-major
+    (level l occupies rows/columns [l·F, (l+1)·F)).
 
     ``fast_scatter`` selects the Pallas deterministic scatter-add for
     the table-gradient transpose (reverse-mode only); the default picks
@@ -257,37 +264,82 @@ def grid_encode(
         raise ValueError(f"expected (B, {spec.n_dims}) input, got {x.shape}")
     if fast_scatter is None:
         fast_scatter = _default_fast_scatter()
-    if fast_scatter:
-        from .pallas.scatter import fast_take as take_fn
-    else:
-        take_fn = lambda t, i: jnp.take(t, i, axis=0)  # noqa: E731
-    B = x.shape[0]
     F = spec.n_features_per_level
-    corners = jnp.asarray(_corner_offsets(spec.n_dims), dtype=jnp.uint32)  # (C, D)
-    xf = x.astype(jnp.float32)
+    # Accept flat (n_entries·F,) or (n_entries, F) tables; flat is the
+    # canonical param storage (compact 1-D layout — a skinny (N, F)
+    # array is lane-padded 128/F× on TPU, taxing every optimizer pass).
+    flat = table.reshape(-1)
+    if fast_scatter:
+        from .pallas.scatter import fast_take_flat
 
-    outs = []
+        take_fn = lambda fl, i: fast_take_flat(fl, i, F)  # noqa: E731
+    else:
+        n_rows = flat.shape[0] // F
+        take_fn = lambda fl, i: jnp.take(  # noqa: E731
+            fl.reshape(n_rows, F), i, axis=0)
+    B = x.shape[0]
+    D = spec.n_dims
+    C = 1 << D
+    corner_bits = _corner_offsets(D)  # (C, D) numpy, python-level
+
+    # Dense per-dim formulation: every intermediate is a (B,)-shaped
+    # array (compact layout on TPU).  The (B, C, D) broadcast version
+    # forces padded tiled layouts for the skinny minor dims, which
+    # dominates the step cost on real hardware.
+    xs = [x[:, d].astype(jnp.float32) for d in range(D)]
+
+    cols = []   # L·F dense (B,) feature columns
     for li, level in enumerate(spec.levels):
         if max_level is not None and li >= max_level:
-            outs.append(jnp.zeros((B, F), dtype=table.dtype))
+            cols.extend(jnp.zeros((B,), dtype=jnp.float32) for _ in range(F))
             continue
-        pos = xf * level.scale + 0.5
-        cell_f = jnp.floor(pos)
-        f = pos - cell_f
-        # (uint32)(int)floorf — wraps negatives exactly like CUDA.
-        cell = cell_f.astype(jnp.int32).astype(jnp.uint32)  # (B, D)
-        w1 = _interp_weight(f, spec.interpolation)          # weight of the +1 corner
-        corner_pos = cell[:, None, :] + corners[None, :, :]          # (B, C, D)
-        idx = level_indices(spec, level, corner_pos)                 # (B, C)
-        feats = take_fn(table, idx.reshape(-1))                      # (B·C, F)
-        feats = feats.reshape(B, -1, F)
-        # weight product over dims: corner bit d set → w1_d else 1−w1_d
-        cw = jnp.where(corners[None, :, :].astype(bool),
-                       w1[:, None, :], 1.0 - w1[:, None, :])         # (B, C, D)
-        weight = jnp.prod(cw, axis=-1)                               # (B, C)
-        outs.append(jnp.einsum("bc,bcf->bf", weight.astype(jnp.float32),
-                               feats.astype(jnp.float32)).astype(table.dtype))
-    return jnp.concatenate(outs, axis=-1)
+        cells, w1s = [], []
+        for d in range(D):
+            pos = xs[d] * level.scale + 0.5
+            cell_f = jnp.floor(pos)
+            # (uint32)(int)floorf — wraps negatives exactly like CUDA.
+            cells.append(cell_f.astype(jnp.int32).astype(jnp.uint32))
+            w1s.append(_interp_weight(pos - cell_f, spec.interpolation))
+
+        # One gather covering all corners: idx laid out corner-major.
+        if level.use_hash:
+            factors = hash_factors(spec.hash_type, D)
+            corner_idx = []
+            for c in range(C):
+                h = jnp.zeros((B,), jnp.uint32)
+                for d in range(D):
+                    h = h ^ ((cells[d] + jnp.uint32(corner_bits[c, d]))
+                             * jnp.uint32(factors[d]))
+                corner_idx.append(h)
+        else:
+            corner_idx = []
+            for c in range(C):
+                h = jnp.zeros((B,), jnp.uint32)
+                for d in range(D):
+                    if level.stride_mask[d]:
+                        h = h + ((cells[d] + jnp.uint32(corner_bits[c, d]))
+                                 * jnp.uint32(level.strides[d]))
+                corner_idx.append(h)
+        idx = jnp.concatenate(corner_idx)                       # (C·B,)
+        idx = (idx % jnp.uint32(level.size) + jnp.uint32(level.offset)
+               ).astype(jnp.int32)
+        feats = take_fn(flat, idx).astype(jnp.float32)          # (C·B, F)
+
+        ws = []
+        for c in range(C):
+            w = jnp.ones((B,), jnp.float32)
+            for d in range(D):
+                w = w * (w1s[d] if corner_bits[c, d] else 1.0 - w1s[d])
+            ws.append(w)
+        for f in range(F):
+            col = jnp.zeros((B,), jnp.float32)
+            for c in range(C):
+                col = col + feats[c * B:(c + 1) * B, f] * ws[c]
+            cols.append(col)
+    # Feature-major stack: (L·F, B) — major-dim stacking, no lane
+    # shuffles.  The AoS view is one well-optimized XLA transpose.
+    out = jnp.stack(cols, axis=0).astype(table.dtype)
+    return out if soa else out.T
 
 
 def init_grid_params(key: jax.Array, spec: GridSpec, scale: float = 1.0,

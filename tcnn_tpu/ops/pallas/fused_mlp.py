@@ -12,13 +12,18 @@ mapping from the CUDA design:
   weights in wmma register fragments       weights in VMEM, MXU matmuls
   activations in shared memory (+8 skew)   activations in VMEM registers
   fp16 tensor cores + loss scaling         bf16/f32 MXU with fp32 accumulate
-  backward: fused dgrad kernel +           one backward kernel: dgrad chain
-    split-k wgrad CUTLASS GEMMs on           + wgrad accumulation into a
-    side streams (:782-829)                  revisited output block (TPU grid
+  backward: fused dgrad kernel +           one backward kernel: recomputes the
+    split-k wgrad CUTLASS GEMMs on           forward per tile (tiny MLPs are
+    side streams (:782-829)                  compute-cheap), then dgrad chain
+                                             + wgrad accumulation into
+                                             revisited output blocks (TPU grid
                                              is sequential, so += is exact
                                              and deterministic)
-  stored forward activations               stored pre-activations z_k,
-    (act-transfer epilogues)                 act/act' recomputed on the VPU
+  stored forward activations               nothing stored: recompute-in-
+    (act-transfer epilogues)                 backward — on this hardware the
+                                             extra MXU work is far cheaper
+                                             than streaming an activation
+                                             stash through HBM
 
 Shape contract: hidden width W ∈ {16,32,64,128}; the batch is padded to
 a multiple of TILE_B by the wrapper.  Layers: z_1 = x W_0,
@@ -43,9 +48,9 @@ from ...common import Activation, cdiv, next_multiple
 from . import interpret_mode
 from ..activations import activation_derivative, apply_activation
 
-# Default batch tile; 256 rows keeps the MXU busy at every width while
-# the full activation stash stays small (H·256·128·4B = 640 KB at H=5).
-TILE_B = 256
+# Batch tile; 512 rows keeps the MXU busy at every width while the
+# recomputed activations stay tiny (H·512·128·4B ≤ 1.3 MB at H=5).
+TILE_B = 512
 
 
 def _replicated(shape):
@@ -59,25 +64,31 @@ def _batch_tiled(shape_tail: Tuple[int, ...]):
                         memory_space=pltpu.VMEM)
 
 
+def _in_matmul(x, w, soa_in: bool):
+    """x (TB, D) @ w (D, W) — or x given SoA as (D, TB); the MXU takes
+    the transposed contraction natively, no relayout."""
+    if soa_in:
+        return jax.lax.dot_general(x, w, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
-                x_ref, w_in_ref, w_hid_ref, w_out_ref, y_ref, z_ref):
-    """One batch tile through the whole MLP; stashes pre-activations."""
-    h = x_ref[...]
-    z = jnp.dot(h, w_in_ref[...], preferred_element_type=jnp.float32)
-    z_ref[0, :, :] = z
-    h = apply_activation(z, act).astype(h.dtype)
+                soa_in: bool, x_ref, w_in_ref, w_hid_ref, w_out_ref, y_ref):
+    """One batch tile through the whole MLP."""
+    z = _in_matmul(x_ref[...], w_in_ref[...], soa_in)
+    h = apply_activation(z, act).astype(x_ref.dtype)
     for k in range(n_hidden - 1):
         z = jnp.dot(h, w_hid_ref[k], preferred_element_type=jnp.float32)
-        z_ref[k + 1, :, :] = z
         h = apply_activation(z, act).astype(h.dtype)
     z_out = jnp.dot(h, w_out_ref[...], preferred_element_type=jnp.float32)
-    y_ref[...] = apply_activation(z_out, out_act)
+    y_ref[...] = apply_activation(z_out, out_act).astype(y_ref.dtype)
 
 
 def _bwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
-                x_ref, w_in_ref, w_hid_ref, w_out_ref, z_ref, g_ref,
+                soa_in: bool, x_ref, w_in_ref, w_hid_ref, w_out_ref, g_ref,
                 dx_ref, dw_in_ref, dw_hid_ref, dw_out_ref):
-    """Backward for one batch tile.
+    """Backward for one batch tile, forward recomputed in-kernel.
 
     dgrad chain mirrors kernel_mlp_fused_backward
     (fully_fused_mlp.cu:150-259); weight gradients accumulate across
@@ -94,16 +105,26 @@ def _bwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
         dw_out_ref[...] = jnp.zeros_like(dw_out_ref)
 
     cdt = x_ref.dtype
-    # Recompute output pre-activation from the last hidden activation.
-    h_last = apply_activation(z_ref[n_hidden - 1, :, :], act).astype(cdt)
-    z_out = jnp.dot(h_last, w_out_ref[...], preferred_element_type=jnp.float32)
+    # Recompute the forward, keeping pre-activations in VMEM values.
+    zs = []
+    z = _in_matmul(x_ref[...], w_in_ref[...], soa_in)
+    zs.append(z)
+    h = apply_activation(z, act).astype(cdt)
+    hs = [h]
+    for k in range(n_hidden - 1):
+        z = jnp.dot(h, w_hid_ref[k], preferred_element_type=jnp.float32)
+        zs.append(z)
+        h = apply_activation(z, act).astype(cdt)
+        hs.append(h)
+    z_out = jnp.dot(h, w_out_ref[...], preferred_element_type=jnp.float32)
+
     g = g_ref[...].astype(jnp.float32)
     dz = g * activation_derivative(z_out, out_act)           # (TB, Dout) f32
     dz_c = dz.astype(cdt)
 
     # Output layer wgrad: h_lastᵀ dz.
     dw_out_ref[...] += jax.lax.dot_general(
-        h_last, dz_c, (((0,), (0,)), ((), ())),
+        hs[-1], dz_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # dgrad into the last hidden activation.
@@ -112,33 +133,42 @@ def _bwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
         preferred_element_type=jnp.float32)
 
     for k in range(n_hidden - 1, 0, -1):
-        z_k = z_ref[k, :, :]
-        dz_k = dh * activation_derivative(z_k, act)
+        dz_k = dh * activation_derivative(zs[k], act)
         dz_kc = dz_k.astype(cdt)
-        h_prev = apply_activation(z_ref[k - 1, :, :], act).astype(cdt)
         dw_hid_ref[k - 1] += jax.lax.dot_general(
-            h_prev, dz_kc, (((0,), (0,)), ((), ())),
+            hs[k - 1], dz_kc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dh = jax.lax.dot_general(
             dz_kc, w_hid_ref[k - 1], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     # Input layer.
-    dz_1 = dh * activation_derivative(z_ref[0, :, :], act)
+    dz_1 = dh * activation_derivative(zs[0], act)
     dz_1c = dz_1.astype(cdt)
-    dw_in_ref[...] += jax.lax.dot_general(
-        x_ref[...], dz_1c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dx_ref[...] = jax.lax.dot_general(
-        dz_1c, w_in_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    if soa_in:
+        # x (D, TB): dw = x @ dz; dx (D, TB) = w @ dzᵀ.
+        dw_in_ref[...] += jax.lax.dot_general(
+            x_ref[...], dz_1c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[...] = jax.lax.dot_general(
+            w_in_ref[...], dz_1c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    else:
+        dw_in_ref[...] += jax.lax.dot_general(
+            x_ref[...], dz_1c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[...] = jax.lax.dot_general(
+            dz_1c, w_in_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
-def _pad_batch(x, tile):
-    b = x.shape[0]
+def _pad_batch(x, tile, axis=0):
+    b = x.shape[axis]
     pb = next_multiple(max(b, 1), tile)
     if pb != b:
-        x = jnp.pad(x, ((0, pb - b), (0, 0)))
+        pads = [(0, 0), (0, 0)]
+        pads[axis] = (0, pb - b)
+        x = jnp.pad(x, pads)
     return x, b
 
 
@@ -151,71 +181,75 @@ def _stack_hidden(ws: Sequence[jax.Array], width: int, dtype):
     return jnp.zeros((1, width, width), dtype), 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _x_spec(d_in: int, soa_in: bool):
+    """Input block spec: (TILE_B, d_in) rows — or (d_in, TILE_B) SoA."""
+    if soa_in:
+        return pl.BlockSpec((d_in, TILE_B), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    return _batch_tiled((d_in,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_mlp(weights: Tuple[jax.Array, ...], x, act: Activation,
-               out_act: Activation, compute_dtype, output_dtype):
-    y, _ = _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
-                               output_dtype, stash=False)
-    return y
+               out_act: Activation, compute_dtype, output_dtype,
+               soa_in: bool):
+    return _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
+                               output_dtype, soa_in)
 
 
 def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
-                        output_dtype, stash: bool):
+                        output_dtype, soa_in):
     w_in, *w_mid, w_out = weights
     n_hidden = len(w_mid) + 1           # number of width-W layers
     width = w_in.shape[1]
     d_in, d_out = w_in.shape[0], w_out.shape[1]
+    b_axis = 1 if soa_in else 0
 
-    xp, b = _pad_batch(x.astype(compute_dtype), TILE_B)
-    pb = xp.shape[0]
+    xp, b = _pad_batch(x.astype(compute_dtype), TILE_B, axis=b_axis)
+    pb = xp.shape[b_axis]
     grid = (pb // TILE_B,)
 
     w_in_c = w_in.astype(compute_dtype)
     w_hid_c, n_stack = _stack_hidden(w_mid, width, compute_dtype)
     w_out_c = w_out.astype(compute_dtype)
 
-    kernel = functools.partial(_fwd_kernel, act, out_act, n_hidden)
-    y, z = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, act, out_act, n_hidden, soa_in)
+    y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            _batch_tiled((d_in,)),
+            _x_spec(d_in, soa_in),
             _replicated((d_in, width)),
             _replicated((max(n_stack, 1), width, width)),
             _replicated((width, d_out)),
         ],
-        out_specs=[
-            _batch_tiled((d_out,)),
-            pl.BlockSpec((n_hidden, TILE_B, width),
-                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((pb, d_out), jnp.float32),
-            jax.ShapeDtypeStruct((n_hidden, pb, width), jnp.float32),
-        ],
+        out_specs=_batch_tiled((d_out,)),
+        out_shape=jax.ShapeDtypeStruct((pb, d_out), jnp.float32),
         interpret=interpret_mode(),
     )(xp, w_in_c, w_hid_c, w_out_c)
-    y = y[:b].astype(output_dtype)
-    if stash:
-        return y, (xp, z, b)
-    return y, None
+    return y[:b].astype(output_dtype)
 
 
-def _fused_mlp_vjp_fwd(weights, x, act, out_act, compute_dtype, output_dtype):
-    y, (xp, z, _) = _fused_mlp_fwd_impl(weights, x, act, out_act,
-                                        compute_dtype, output_dtype, stash=True)
-    return y, (weights, x, xp, z)
+def _fused_mlp_vjp_fwd(weights, x, act, out_act, compute_dtype, output_dtype,
+                       soa_in):
+    y = _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
+                            output_dtype, soa_in)
+    # Residuals: just the inputs — backward recomputes activations.
+    return y, (weights, x)
 
 
-def _fused_mlp_vjp_bwd(act, out_act, compute_dtype, output_dtype,
+def _fused_mlp_vjp_bwd(act, out_act, compute_dtype, output_dtype, soa_in,
                        residuals, g):
-    weights, x_orig, xp, z = residuals
-    b = x_orig.shape[0]
+    weights, x_orig = residuals
+    b_axis = 1 if soa_in else 0
+    b = x_orig.shape[b_axis]
     w_in, *w_mid, w_out = weights
     n_hidden = len(w_mid) + 1
     width = w_in.shape[1]
     d_in, d_out = w_in.shape[0], w_out.shape[1]
-    pb = xp.shape[0]
+
+    xp, _ = _pad_batch(x_orig.astype(compute_dtype), TILE_B, axis=b_axis)
+    pb = xp.shape[b_axis]
     grid = (pb // TILE_B,)
 
     gp = g.astype(jnp.float32)
@@ -226,38 +260,37 @@ def _fused_mlp_vjp_bwd(act, out_act, compute_dtype, output_dtype,
     w_hid_c, n_stack = _stack_hidden(w_mid, width, compute_dtype)
     w_out_c = w_out.astype(compute_dtype)
 
-    kernel = functools.partial(_bwd_kernel, act, out_act, n_hidden)
+    dx_shape = (d_in, pb) if soa_in else (pb, d_in)
+    kernel = functools.partial(_bwd_kernel, act, out_act, n_hidden, soa_in)
     dx, dw_in, dw_hid, dw_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            _batch_tiled((d_in,)),
+            _x_spec(d_in, soa_in),
             _replicated((d_in, width)),
             _replicated((max(n_stack, 1), width, width)),
             _replicated((width, d_out)),
-            pl.BlockSpec((n_hidden, TILE_B, width), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
             _batch_tiled((d_out,)),
         ],
         out_specs=[
-            _batch_tiled((d_in,)),
+            _x_spec(d_in, soa_in),
             _replicated((d_in, width)),
             _replicated((max(n_stack, 1), width, width)),
             _replicated((width, d_out)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((pb, d_in), jnp.float32),
+            jax.ShapeDtypeStruct(dx_shape, jnp.float32),
             jax.ShapeDtypeStruct((d_in, width), jnp.float32),
             jax.ShapeDtypeStruct((max(n_stack, 1), width, width), jnp.float32),
             jax.ShapeDtypeStruct((width, d_out), jnp.float32),
         ],
         interpret=interpret_mode(),
-    )(xp, w_in_c, w_hid_c, w_out_c, z, gp)
+    )(xp, w_in_c, w_hid_c, w_out_c, gp)
 
     dweights = ([dw_in.astype(w_in.dtype)]
                 + [dw_hid[k].astype(w.dtype) for k, w in enumerate(w_mid)]
                 + [dw_out.astype(w_out.dtype)])
-    dx = dx[:b].astype(x_orig.dtype)
+    dx = (dx[:, :b] if soa_in else dx[:b]).astype(x_orig.dtype)
     return tuple(dweights), dx
 
 
@@ -266,7 +299,11 @@ _fused_mlp.defvjp(_fused_mlp_vjp_fwd, _fused_mlp_vjp_bwd)
 
 def fused_mlp_apply(weights: List[jax.Array], x: jax.Array, *,
                     activation: Activation, output_activation: Activation,
-                    compute_dtype=jnp.bfloat16, output_dtype=jnp.float32):
-    """Public entry: apply the fused MLP to (B, D_in) inputs."""
+                    compute_dtype=jnp.bfloat16, output_dtype=jnp.float32,
+                    input_soa: bool = False):
+    """Apply the fused MLP to (B, D_in) inputs — or (D_in, B) when
+    ``input_soa`` (the grid encoding's native layout; the MXU contracts
+    the transposed operand directly, so no relayout happens anywhere).
+    Output is always (B, D_out)."""
     return _fused_mlp(tuple(weights), x, activation, output_activation,
-                      compute_dtype, output_dtype)
+                      compute_dtype, output_dtype, input_soa)
