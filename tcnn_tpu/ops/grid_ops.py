@@ -227,6 +227,82 @@ def _default_fast_scatter() -> bool:
         return False
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _grid_interpolate(flat, idx, ws, fc):
+    """All levels' interpolation with a hand-rolled VJP.
+
+    fwd: one gather at ``idx`` (all levels & corners, segment-major:
+    segment s = l·C + c), then cols[l·F+k] = Σ_c ws[l·C+c] ⊙
+    feats_segment(l,c)[:, k].  The custom bwd builds per-feature FLAT
+    gradient streams for ONE Pallas scatter over the whole table —
+    autodiff would route the cotangent through (M, F) skinny
+    intermediates whose lane padding costs more than the scatter
+    itself, and per-level scatters would re-zero the table 16×.
+
+    Args: flat (N·F,) table; idx (L·C·B,) int32 (level offsets already
+    folded in); ws tuple of L·C (B,) f32 corner weights; fc static
+    (F, C).
+    Returns tuple of L·F (B,) f32 columns, level-major.
+    """
+    cols, _ = _grid_interpolate_fwd_impl(flat, idx, ws, fc)
+    return cols
+
+
+def _grid_interpolate_fwd_impl(flat, idx, ws, fc):
+    f, c = fc
+    b = ws[0].shape[0]
+    n_levels = len(ws) // c
+    # Per-level gathers (idx is a tuple): per-level index locality makes
+    # 16 small takes ~30% faster than one fused take on v5e.
+    table2d = flat.reshape(-1, f)
+    feats = [jnp.take(table2d, ix, axis=0).astype(jnp.float32) for ix in idx]
+    cols = []
+    for l in range(n_levels):
+        for k in range(f):
+            col = jnp.zeros((b,), jnp.float32)
+            for ci in range(c):
+                col = col + feats[l][ci * b:(ci + 1) * b, k] * ws[l * c + ci]
+            cols.append(col)
+    return tuple(cols), tuple(feats)
+
+
+def _grid_interpolate_vjp_fwd(flat, idx, ws, fc):
+    cols, feats = _grid_interpolate_fwd_impl(flat, idx, ws, fc)
+    return cols, (idx, ws, feats, flat.shape[0])
+
+
+def _grid_interpolate_vjp_bwd(fc, res, dcols):
+    from .pallas.scatter import scatter_add_cols
+
+    f, c = fc
+    idx, ws, feats, n_flat = res
+    n_seg = len(ws)
+    b = ws[0].shape[0]
+    # d/dtable: segment s = l·C + ci gets g_k = ws[s] ⊙ dcols[l·F+k];
+    # ONE scatter over the whole table (per-level scatters would re-zero
+    # the 5.6 MB gradient accumulator L times).
+    gs = tuple(
+        jnp.concatenate([ws[s] * dcols[(s // c) * f + k]
+                         for s in range(n_seg)])
+        for k in range(f))
+    dflat = scatter_add_cols(jnp.concatenate(idx), gs, n_flat // f)
+    # d/dws[s] = Σ_k dcols[l·F+k] ⊙ feats_level(s//c)[segment s%c][:, k].
+    dws = []
+    for s in range(n_seg):
+        l, ci = divmod(s, c)
+        dw = jnp.zeros((b,), jnp.float32)
+        for k in range(f):
+            dw = dw + dcols[l * f + k] * feats[l][ci * b:(ci + 1) * b, k]
+        dws.append(dw)
+    return dflat, None, tuple(dws)
+
+
+_grid_interpolate.defvjp(_grid_interpolate_vjp_fwd, _grid_interpolate_vjp_bwd)
+
+
 def grid_encode(
     spec: GridSpec,
     table: jax.Array,
@@ -269,14 +345,9 @@ def grid_encode(
     # canonical param storage (compact 1-D layout — a skinny (N, F)
     # array is lane-padded 128/F× on TPU, taxing every optimizer pass).
     flat = table.reshape(-1)
-    if fast_scatter:
-        from .pallas.scatter import fast_take_flat
-
-        take_fn = lambda fl, i: fast_take_flat(fl, i, F)  # noqa: E731
-    else:
-        n_rows = flat.shape[0] // F
-        take_fn = lambda fl, i: jnp.take(  # noqa: E731
-            fl.reshape(n_rows, F), i, axis=0)
+    n_rows = flat.shape[0] // F
+    take_fn = lambda fl, i: jnp.take(  # noqa: E731
+        fl.reshape(n_rows, F), i, axis=0)
     B = x.shape[0]
     D = spec.n_dims
     C = 1 << D
@@ -288,7 +359,10 @@ def grid_encode(
     # dominates the step cost on real hardware.
     xs = [x[:, d].astype(jnp.float32) for d in range(D)]
 
-    cols = []   # L·F dense (B,) feature columns
+    cols = []        # L·F dense (B,) feature columns (slow path / zeros)
+    all_idx = []     # fast path: per-live-level (C·B,) index arrays
+    all_ws = []      # fast path: per-live-level C corner-weight arrays
+    live_levels = []
     for li, level in enumerate(spec.levels):
         if max_level is not None and li >= max_level:
             cols.extend(jnp.zeros((B,), dtype=jnp.float32) for _ in range(F))
@@ -323,19 +397,39 @@ def grid_encode(
         idx = jnp.concatenate(corner_idx)                       # (C·B,)
         idx = (idx % jnp.uint32(level.size) + jnp.uint32(level.offset)
                ).astype(jnp.int32)
-        feats = take_fn(flat, idx).astype(jnp.float32)          # (C·B, F)
-
         ws = []
         for c in range(C):
             w = jnp.ones((B,), jnp.float32)
             for d in range(D):
                 w = w * (w1s[d] if corner_bits[c, d] else 1.0 - w1s[d])
             ws.append(w)
-        for f in range(F):
-            col = jnp.zeros((B,), jnp.float32)
-            for c in range(C):
-                col = col + feats[c * B:(c + 1) * B, f] * ws[c]
-            cols.append(col)
+        if fast_scatter:
+            # Defer: one fused gather+scatter over ALL levels below.
+            all_idx.append(idx)
+            all_ws.extend(ws)
+            live_levels.append(li)
+        else:
+            feats = take_fn(flat, idx).astype(jnp.float32)      # (C·B, F)
+            for f in range(F):
+                col = jnp.zeros((B,), jnp.float32)
+                for c in range(C):
+                    col = col + feats[c * B:(c + 1) * B, f] * ws[c]
+                cols.append(col)
+    if fast_scatter and all_idx:
+        live_cols = _grid_interpolate(flat, tuple(all_idx),
+                                      tuple(all_ws), (F, C))
+        # Re-interleave with any masked-level zero columns.
+        it = iter(live_cols)
+        live_set = set(live_levels)
+        merged = []
+        zi = 0
+        for li in range(spec.n_levels):
+            if li in live_set:
+                merged.extend(next(it) for _ in range(F))
+            else:
+                merged.extend(cols[zi + k] for k in range(F))
+                zi += F
+        cols = merged
     # Feature-major stack: (L·F, B) — major-dim stacking, no lane
     # shuffles.  The AoS view is one well-optimized XLA transpose.
     out = jnp.stack(cols, axis=0).astype(table.dtype)

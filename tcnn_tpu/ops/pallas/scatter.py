@@ -121,6 +121,95 @@ def _scatter_add_packed(idx: jax.Array, g: jax.Array, n_rows: int,
     return packed.reshape(-1)[: n_rows * f]  # FLAT (n_rows·f,)
 
 
+def _scatter_cols_kernel(f: int, idx_ref, *rest):
+    """Like _scatter_kernel but with F separate flat gradient streams —
+    callers produce per-feature (M,) arrays (dense 1-D layout) instead
+    of an (M, F) matrix whose minor dim would be lane-padded."""
+    g_refs = rest[:f]
+    out_ref = rest[f]
+    acc_refs = rest[f + 1:]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for acc in acc_refs:
+            acc[...] = jnp.zeros_like(acc)
+
+    per_row = _LANES // f
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def body(j, _):
+        for u in range(_UNROLL):
+            i = j * _UNROLL + u
+            r = idx_ref[i]
+            row = r // per_row
+            lane0 = (r % per_row) * f
+            add = jnp.where(lanes == lane0, g_refs[0][i], 0.0)
+            for k in range(1, f):
+                add = add + jnp.where(lanes == lane0 + k, g_refs[k][i], 0.0)
+            acc_refs[u % _N_ACC][pl.ds(row, 1), :] += add
+        return 0
+
+    jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        total = acc_refs[0][...]
+        for acc in acc_refs[1:]:
+            total = total + acc[...]
+        out_ref[...] = total
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_add_cols(idx: jax.Array, gs: Tuple[jax.Array, ...],
+                     n_rows: int) -> jax.Array:
+    """Deterministic scatter-add with per-feature flat gradient streams.
+
+    ``gs`` is a tuple of F (M,) f32 arrays (feature f of update i is
+    gs[f][i]); returns the FLAT (n_rows·F,) gradient table.
+    """
+    return _scatter_add_cols_impl(idx, gs, n_rows)
+
+
+def _scatter_add_cols_impl(idx, gs, n_rows):
+    f = len(gs)
+    m = idx.shape[0]
+    pm = pl.cdiv(max(m, 1), _TILE) * _TILE
+    if pm != m:
+        idx = jnp.pad(idx, (0, pm - m))
+        gs = tuple(jnp.pad(g, (0, pm - m)) for g in gs)
+    rows = _packed_rows(n_rows, f)
+
+    kernel = functools.partial(_scatter_cols_kernel, f)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(pm // _TILE,),
+        in_specs=[pl.BlockSpec((_TILE,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)] * (1 + f),
+        out_specs=pl.BlockSpec((rows, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)
+                        for _ in range(_N_ACC)],
+        interpret=interpret_mode(),
+    )(idx.astype(jnp.int32), *[g.astype(jnp.float32) for g in gs])
+    return packed.reshape(-1)[: n_rows * f]
+
+
+def _scatter_cols_fwd(idx, gs, n_rows):
+    return scatter_add_cols(idx, gs, n_rows), (idx, len(gs))
+
+
+def _scatter_cols_bwd(n_rows, res, dflat):
+    idx, f = res
+    # dgs[f][i] = dflat[idx[i]·F + f] — F dense scalar gathers.
+    dgs = tuple(jnp.take(dflat, idx * f + k) for k in range(f))
+    return None, dgs
+
+
+scatter_add_cols.defvjp(_scatter_cols_fwd, _scatter_cols_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable linear pair: fast_take <-> scatter_add_rows.
 # ---------------------------------------------------------------------------
