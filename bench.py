@@ -145,12 +145,32 @@ def main():
     print(f"bench: inference {n_inf} batches in {t1 - t0:.2f}s",
           file=sys.stderr, flush=True)
 
+    # Device capability probe: sustained bf16 matmul TFLOPS, measured
+    # the same honest way (chained in-dispatch, data readback).  The
+    # tunnel TPU sustains ~8 TFLOPS vs the reference RTX 4090's ~82
+    # bf16 TFLOPS, so absolute vs_baseline mixes hardware with
+    # framework quality; tflops_normalized_vs_baseline factors the
+    # hardware out.
+    a = jax.random.normal(jax.random.key(9), (4096, 4096)).astype(jnp.bfloat16)
+    bmat = jax.random.normal(jax.random.key(10), (4096, 4096)).astype(jnp.bfloat16)
+    m20 = jax.jit(lambda x: jax.lax.fori_loop(
+        0, 20, lambda i, y: (y @ bmat).astype(jnp.bfloat16), x))
+    fetch(m20(a))
+    t0 = time.perf_counter()
+    fetch(m20(a))
+    tflops = 20 * 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
+    REFERENCE_GPU_TFLOPS = 82.6  # RTX 4090 bf16 (dense)
+
     result = {
         "metric": "image-fit training throughput (HashGrid L16F2 + "
                   "FusedMLP 64x2, batch 2^18)",
         "value": round(train_throughput, 1),
         "unit": "samples/s",
         "vs_baseline": round(train_throughput / REFERENCE_TRAIN_SAMPLES_PER_SEC, 4),
+        "device_sustained_bf16_tflops": round(tflops, 2),
+        "tflops_normalized_vs_baseline": round(
+            (train_throughput / tflops)
+            / (REFERENCE_TRAIN_SAMPLES_PER_SEC / REFERENCE_GPU_TFLOPS), 4),
         "inference_samples_per_sec": round(infer_throughput, 1),
         "final_loss": final_loss,
         "batch_size": batch_size,

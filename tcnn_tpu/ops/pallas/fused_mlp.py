@@ -232,15 +232,87 @@ def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
 
 def _fused_mlp_vjp_fwd(weights, x, act, out_act, compute_dtype, output_dtype,
                        soa_in):
-    y = _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
-                            output_dtype, soa_in)
+    # Re-enter the custom_vjp (not the raw pallas impl): under nested
+    # differentiation (bwd-bwd) this fwd is itself traced, and only the
+    # wrapped call keeps the kernel opaque to AD.
+    y = _fused_mlp(weights, x, act, out_act, compute_dtype, output_dtype,
+                   soa_in)
     # Residuals: just the inputs — backward recomputes activations.
     return y, (weights, x)
+
+
+def _jnp_mlp_ref(weights, x, act, out_act, compute_dtype, output_dtype,
+                 soa_in):
+    """Identical-math jnp forward — the differentiable ground truth the
+    kernels are tested against; used to derive second-order derivatives
+    of the backward op below."""
+    w_in, *w_mid, w_out = weights
+    h = (x.T if soa_in else x).astype(compute_dtype)
+    z = jnp.dot(h, w_in.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    h = apply_activation(z, act).astype(compute_dtype)
+    for w in w_mid:
+        z = jnp.dot(h, w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        h = apply_activation(z, act).astype(compute_dtype)
+    z_out = jnp.dot(h, w_out.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    return apply_activation(z_out, out_act).astype(output_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_mlp_bwd_op(weights, x, g, act, out_act, compute_dtype,
+                      output_dtype, soa_in):
+    """The backward pass as a differentiable op.
+
+    Mirrors the reference's two-level autograd structure
+    (_module_function_backward, bindings/torch/tinycudann/modules.py:
+    120-160): the primal is the fused Pallas backward kernel; its OWN
+    vjp (second order — eikonal losses etc.) is derived by
+    differentiating the jnp reference backward, which JAX can transform
+    freely.  MLP second order is off the hot path, so the jnp route
+    costs nothing in training."""
+    return _fused_mlp_bwd_kernel_call(weights, x, g, act, out_act,
+                                      compute_dtype, output_dtype, soa_in)
+
+
+def _fused_mlp_bwd_op_fwd(weights, x, g, act, out_act, compute_dtype,
+                          output_dtype, soa_in):
+    # Re-enter the custom op (NOT the raw kernel): under nested
+    # differentiation this fwd is itself traced, and only the custom-
+    # vjp-wrapped call keeps the kernel opaque to AD.
+    out = _fused_mlp_bwd_op(weights, x, g, act, out_act,
+                            compute_dtype, output_dtype, soa_in)
+    return out, (weights, x, g)
+
+
+def _fused_mlp_bwd_op_bwd(act, out_act, compute_dtype, output_dtype, soa_in,
+                          residuals, cot):
+    weights, x, g = residuals
+
+    def ref_bwd(weights, x, g):
+        _, vjp = jax.vjp(
+            lambda w, xx: _jnp_mlp_ref(w, xx, act, out_act, compute_dtype,
+                                       output_dtype, soa_in), weights, x)
+        dw, dx = vjp(g)
+        return tuple(dw), dx
+
+    _, vjp2 = jax.vjp(ref_bwd, weights, x, g)
+    return vjp2(cot)
+
+
+_fused_mlp_bwd_op.defvjp(_fused_mlp_bwd_op_fwd, _fused_mlp_bwd_op_bwd)
 
 
 def _fused_mlp_vjp_bwd(act, out_act, compute_dtype, output_dtype, soa_in,
                        residuals, g):
     weights, x_orig = residuals
+    return _fused_mlp_bwd_op(weights, x_orig, g, act, out_act,
+                             compute_dtype, output_dtype, soa_in)
+
+
+def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
+                               compute_dtype, output_dtype, soa_in):
     b_axis = 1 if soa_in else 0
     b = x_orig.shape[b_axis]
     w_in, *w_mid, w_out = weights

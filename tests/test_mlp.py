@@ -137,3 +137,34 @@ class TestFusedMLP:
         np.testing.assert_allclose(np.asarray(fused.apply(params, x)),
                                    np.asarray(ref.apply(params, x)),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedMLPSecondOrder:
+    """Eikonal-style grad-of-grad through the Pallas path (interpret
+    mode on CPU).  The backward op carries its own custom_vjp — the
+    reference's two-level autograd structure (modules.py:120-160)."""
+
+    def test_pallas_second_order_matches_jnp(self):
+        from tcnn_tpu.models.networks.fused_mlp import FusedMLP
+
+        kw = dict(n_input_dims=16, n_output_dims=1, n_neurons=32,
+                  n_hidden_layers=2, activation=Activation.RELU,
+                  output_activation=Activation.NONE)
+        net_p = FusedMLP(use_pallas=True, **kw)
+        net_j = FusedMLP(use_pallas=False, **kw)
+        p = net_p.init(jax.random.key(0))
+        x = jax.random.uniform(jax.random.key(1), (64, 16))
+
+        def eik(net):
+            def f(p):
+                gx = jax.grad(lambda xx: jnp.sum(
+                    net.apply(p, xx).astype(jnp.float32)))(x)
+                return jnp.sum(gx * gx)
+            return f
+
+        h_p = jax.grad(eik(net_p))(p)
+        h_j = jax.grad(eik(net_j))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(h_p),
+                        jax.tree_util.tree_leaves(h_j)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=1e-4)
