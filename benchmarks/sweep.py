@@ -34,9 +34,22 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import numpy as np
 
     import tcnn_tpu as tcnn
     from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tcnn_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    def fetch(x):
+        """True sync: on the tunnel, block_until_ready reports enqueue;
+        only a data readback waits for completion."""
+        return float(np.asarray(jax.device_get(x)).ravel()[0])
 
     ref_img = "/root/reference/data/images/albert.jpg"
     img = None
@@ -82,30 +95,39 @@ def main():
             key = jax.random.key(0)
             for i in range(warmup_chunks):
                 state, losses = loop(state, jax.random.fold_in(key, i))
-            jax.block_until_ready(losses)
+            fetch(losses)
             t0 = time.perf_counter()
             for i in range(n_chunks):
                 state, losses = loop(state, jax.random.fold_in(key, 1000 + i))
-            jax.block_until_ready(losses)
+            final_loss = fetch(losses[-1:])
             train_tp = n_chunks * chunk * batch_size / (time.perf_counter() - t0)
 
-            # Inference.
+            # Inference: chained through a carry so the device
+            # genuinely serializes the work.
             params = model.trainer.inference_params(state)
             xy, _ = sampler.sample_batch(jax.random.key(1), batch_size)
-            infer = jax.jit(lambda p, x: model.network.inference(p, x))
-            jax.block_until_ready(infer(params, xy))
+
+            def infer_step(p, x, carry):
+                import jax.numpy as jnp
+
+                y = model.network.inference(p, x + carry * jnp.float32(1e-30))
+                return y[0, 0]
+
+            infer = jax.jit(infer_step)
+            carry = infer(params, xy, 0.0)
+            fetch(carry)
             n_inf = max(n_iters // 5, 50)
             t0 = time.perf_counter()
             for _ in range(n_inf):
-                y = infer(params, xy)
-            jax.block_until_ready(y)
+                carry = infer(params, xy, carry)
+            fetch(carry)
             infer_tp = n_inf * batch_size / (time.perf_counter() - t0)
 
             cell = {
                 "batch_size": batch_size,
                 "training_throughput": train_tp,
                 "inference_throughput": infer_tp,
-                "training_loss": float(losses[-1]),
+                "training_loss": final_loss,
             }
             method_results.append(cell)
             print(f"{method} 2^{p}: train {train_tp:.3e}/s "

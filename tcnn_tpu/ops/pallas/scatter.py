@@ -39,13 +39,35 @@ from . import interpret_mode
 # grads: 4·TILE·F bytes, double-buffered) stay well under the 1 MB SMEM.
 _TILE = 8192
 _UNROLL = 8
-# Two independent VMEM accumulators, summed at the end: the serial
-# read-modify-write dependency chain on ONE accumulator is the
+# Up to two independent VMEM accumulators, summed at the end: the
+# serial read-modify-write dependency chain on ONE accumulator is the
 # bottleneck (~11.6 ns/row); alternating updates between two buffers
-# pipelines the VMEM latency (~4.5 ns/row measured).  Determinism is
-# preserved — the split and both add orders are fixed by program order.
+# pipelines the VMEM latency.  Determinism is preserved — the split and
+# both add orders are fixed by program order.  Large tables (BTF-sized
+# 4-D grids) fall back to one accumulator, then to XLA scatter, to stay
+# inside the 128 MB VMEM.
 _N_ACC = 2
 _LANES = 128
+# The chip has 128 MB VMEM; leave headroom for stream buffers and the
+# pipeline.  The scoped (stack) limit defaults to 16 MB, so kernels
+# sized beyond that must raise vmem_limit_bytes explicitly.
+_VMEM_BUDGET = 110 * 1024 * 1024
+
+
+def _pick_n_acc(rows: int) -> int:
+    """Accumulators that fit VMEM; 0 means use the XLA scatter path."""
+    table_bytes = rows * _LANES * 4
+    for n in range(_N_ACC, 0, -1):
+        if table_bytes * (n + 1) <= _VMEM_BUDGET:   # accs + output block
+            return n
+    return 0
+
+
+def _compiler_params(rows: int, n_acc: int):
+    need = rows * _LANES * 4 * (n_acc + 1) + 8 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 128 * 1024 * 1024))
 
 
 def _packed_rows(n_rows: int, f: int) -> int:
@@ -78,7 +100,7 @@ def _scatter_kernel(f: int, idx_ref, g_ref, out_ref, *acc_refs):
             add = jnp.where(lanes == lane0, g_ref[f * i], 0.0)
             for k in range(1, f):
                 add = add + jnp.where(lanes == lane0 + k, g_ref[f * i + k], 0.0)
-            acc_refs[u % _N_ACC][pl.ds(row, 1), :] += add
+            acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
         return 0
 
     jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
@@ -101,6 +123,13 @@ def _scatter_add_packed(idx: jax.Array, g: jax.Array, n_rows: int,
         idx = jnp.pad(idx, (0, pm - m))
         g = jnp.pad(g, ((0, pm - m), (0, 0)))
     rows = _packed_rows(n_rows, f)
+    n_acc = _pick_n_acc(rows)
+    if n_acc == 0:
+        # Table too large for VMEM residency: XLA scatter (also
+        # deterministic, ~10x slower per row).
+        out = jnp.zeros((n_rows, f), jnp.float32)
+        out = out.at[idx].add(g.astype(jnp.float32))
+        return out.reshape(-1)
 
     kernel = functools.partial(_scatter_kernel, f)
     packed = pl.pallas_call(
@@ -115,7 +144,8 @@ def _scatter_add_packed(idx: jax.Array, g: jax.Array, n_rows: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)
-                        for _ in range(_N_ACC)],
+                        for _ in range(n_acc)],
+        compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
     )(idx.astype(jnp.int32), g.astype(jnp.float32).reshape(-1))
     return packed.reshape(-1)[: n_rows * f]  # FLAT (n_rows·f,)
@@ -147,7 +177,7 @@ def _scatter_cols_kernel(f: int, idx_ref, *rest):
             add = jnp.where(lanes == lane0, g_refs[0][i], 0.0)
             for k in range(1, f):
                 add = add + jnp.where(lanes == lane0 + k, g_refs[k][i], 0.0)
-            acc_refs[u % _N_ACC][pl.ds(row, 1), :] += add
+            acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
         return 0
 
     jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
@@ -179,6 +209,12 @@ def _scatter_add_cols_impl(idx, gs, n_rows):
         idx = jnp.pad(idx, (0, pm - m))
         gs = tuple(jnp.pad(g, (0, pm - m)) for g in gs)
     rows = _packed_rows(n_rows, f)
+    n_acc = _pick_n_acc(rows)
+    if n_acc == 0:
+        out = jnp.zeros((n_rows, f), jnp.float32)
+        out = out.at[idx].add(
+            jnp.stack([g.astype(jnp.float32) for g in gs], axis=-1))
+        return out.reshape(-1)
 
     kernel = functools.partial(_scatter_cols_kernel, f)
     packed = pl.pallas_call(
@@ -190,7 +226,8 @@ def _scatter_add_cols_impl(idx, gs, n_rows):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)
-                        for _ in range(_N_ACC)],
+                        for _ in range(n_acc)],
+        compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
     )(idx.astype(jnp.int32), *[g.astype(jnp.float32) for g in gs])
     return packed.reshape(-1)[: n_rows * f]
