@@ -37,8 +37,8 @@ from . import interpret_mode
 
 # Updates processed per grid step; SMEM windows (idx: 4·TILE bytes,
 # grads: 4·TILE·F bytes, double-buffered) stay well under the 1 MB SMEM.
-_TILE = 8192
-_UNROLL = 8
+_TILE = 16384
+_UNROLL = 16
 # Up to two independent VMEM accumulators, summed at the end: the
 # serial read-modify-write dependency chain on ONE accumulator is the
 # bottleneck (~11.6 ns/row); alternating updates between two buffers
