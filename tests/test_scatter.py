@@ -119,3 +119,30 @@ class TestGridFastScatter:
         h_ref = jax.grad(eik(False))(table)
         np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_ref),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestLayoutAndFallbacks:
+    def test_soa_output_is_transpose(self):
+        spec = grid_ops.make_grid_spec(2, 4, 2, 10, 4, 1.5)
+        table = grid_ops.init_grid_params(jax.random.key(0), spec)
+        x = jax.random.uniform(jax.random.key(1), (64, 2))
+        a = grid_ops.grid_encode(spec, table, x, soa=False)
+        b = grid_ops.grid_encode(spec, table, x, soa=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b).T)
+
+    def test_large_table_xla_fallback(self, monkeypatch):
+        # Force the VMEM budget below the table size: the scatter must
+        # fall back to the XLA path and still match np.add.at.
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        monkeypatch.setattr(sc, "_VMEM_BUDGET", 1)
+        idx = jax.random.randint(jax.random.key(0), (2000,), 0, 300, jnp.int32)
+        g = jax.random.normal(jax.random.key(1), (2000, 2), jnp.float32)
+        out = sc.scatter_add_rows(idx, g, 300)
+        np.testing.assert_allclose(np.asarray(out), _np_scatter(idx, g, 300),
+                                   rtol=1e-5, atol=1e-4)
+        gs = (g[:, 0], g[:, 1])
+        out2 = sc.scatter_add_cols(idx, gs, 300)
+        np.testing.assert_allclose(np.asarray(out2).reshape(300, 2),
+                                   _np_scatter(idx, g, 300),
+                                   rtol=1e-5, atol=1e-4)
