@@ -128,7 +128,11 @@ def main(which):
 
         def body(carry, key):
             os_, p = carry
-            os_, p = tr.optimizer.step(os_, grads, p)
+            # Vary the grads per iteration (a loop-invariant optimizer
+            # step would be hoisted out of the scan by XLA).
+            s = jax.random.uniform(key, ())
+            g = jax.tree_util.tree_map(lambda a: a * s, grads)
+            os_, p = tr.optimizer.step(os_, g, p)
             return (os_, p)
 
         slope(lambda K: scan_over(body, K, (state.opt_state, state.params)),
