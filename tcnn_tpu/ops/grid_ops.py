@@ -222,7 +222,9 @@ def _default_fast_scatter() -> bool:
     if os.environ.get("TCNN_TPU_DISABLE_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # Only actual TPU backends: the Pallas kernel is pltpu-specific
+        # (a GPU backend must not try to lower it).
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -230,74 +232,165 @@ def _default_fast_scatter() -> bool:
 import functools
 
 
+def _const_col(values, dtype) -> jax.Array:
+    """(L, 1) trace-time constant column from per-level scalars."""
+    return jnp.asarray(np.asarray(values, dtype).reshape(-1, 1))
+
+
+def _build_indices_weights(spec: GridSpec, x: jax.Array,
+                           live: Sequence[int]):
+    """Level-batched corner indices and interpolation weights.
+
+    One set of (L, B)-shaped ops covers every live level at once (the
+    per-level constants — scale, strides, size, offset — become (L, 1)
+    columns), instead of L·C·D separate (B,)-shaped ops: that cuts the
+    emitted HLO graph ~L× (compile time) with identical per-element
+    math.  Levels are grouped into contiguous runs sharing the same
+    indexing mode (hash vs dense-stride pattern), mirroring the
+    reference's per-level branch in grid_index (common_device.h:690-707).
+
+    Returns:
+      idx: (L, C·B) int32 whole-table row indices (offsets folded in),
+           corner-major within a level (reference bit order, grid.h:125).
+      ws:  (L·C, B) f32 corner weights, segment s = l·C + c.
+    """
+    B = x.shape[0]
+    D = spec.n_dims
+    C = 1 << D
+    levels = [spec.levels[li] for li in live]
+    L = len(levels)
+    corner_bits = _corner_offsets(D)
+
+    scales = _const_col([lv.scale for lv in levels], np.float32)
+    cells: List[jax.Array] = []
+    w1s: List[jax.Array] = []
+    for d in range(D):
+        pos = x[:, d].astype(jnp.float32)[None, :] * scales + 0.5
+        cf = jnp.floor(pos)
+        # (uint32)(int)floorf — wraps negatives exactly like CUDA.
+        cells.append(cf.astype(jnp.int32).astype(jnp.uint32))
+        w1s.append(_interp_weight(pos - cf, spec.interpolation))
+
+    # Corner weights: Π_d (f_d if corner bit set else 1−f_d), (L, B).
+    ws = []
+    for c in range(C):
+        w = w1s[0] if corner_bits[c, 0] else 1.0 - w1s[0]
+        for d in range(1, D):
+            w = w * (w1s[d] if corner_bits[c, d] else 1.0 - w1s[d])
+        ws.append(w)
+    ws = jnp.stack(ws, axis=1).reshape(L * C, B)
+
+    # Contiguous level runs sharing an indexing mode.
+    runs: List[Tuple[Tuple, List[int]]] = []
+    for p, lv in enumerate(levels):
+        mode = (lv.use_hash, None if lv.use_hash else lv.stride_mask)
+        if runs and runs[-1][0] == mode:
+            runs[-1][1].append(p)
+        else:
+            runs.append((mode, [p]))
+
+    run_idx = []
+    for (use_hash, mask), ps in runs:
+        p0, p1 = ps[0], ps[-1] + 1
+        sizes = _const_col([levels[p].size for p in ps], np.uint32)
+        offsets = _const_col([levels[p].offset for p in ps], np.uint32)
+        corner_idx = []
+        if use_hash:
+            factors = hash_factors(spec.hash_type, D)
+            for c in range(C):
+                h = ((cells[0][p0:p1] + jnp.uint32(corner_bits[c, 0]))
+                     * jnp.uint32(factors[0]))
+                for d in range(1, D):
+                    h = h ^ ((cells[d][p0:p1] + jnp.uint32(corner_bits[c, d]))
+                             * jnp.uint32(factors[d]))
+                corner_idx.append(h)
+        else:
+            strides = [
+                _const_col([levels[p].strides[d] for p in ps], np.uint32)
+                for d in range(D)]
+            for c in range(C):
+                h = jnp.zeros((p1 - p0, B), jnp.uint32)
+                for d in range(D):
+                    if mask[d]:
+                        h = h + ((cells[d][p0:p1]
+                                  + jnp.uint32(corner_bits[c, d]))
+                                 * strides[d])
+                corner_idx.append(h)
+        idx = jnp.stack(corner_idx, axis=1)          # (Lr, C, B)
+        idx = (idx % sizes[:, None, :] + offsets[:, None, :]
+               ).astype(jnp.int32)
+        run_idx.append(idx)
+    idx = jnp.concatenate(run_idx, axis=0).reshape(L, C * B)
+    return idx, ws
+
+
+def _cols_from_feats(feats: jax.Array, ws: jax.Array, fc) -> jax.Array:
+    """(L·C·B, F) gathered features × (L·C, B) weights → (L·F, B) SoA."""
+    f, c = fc
+    lc, b = ws.shape
+    n_lvl = lc // c
+    fr = feats.reshape(n_lvl, c, b, f).astype(jnp.float32)
+    wr = ws.reshape(n_lvl, c, b)
+    colk = [jnp.sum(fr[..., k] * wr, axis=1) for k in range(f)]  # (L, B) ea.
+    return jnp.stack(colk, axis=1).reshape(n_lvl * f, b)
+
+
+def _interpolate_ref(flat, idx, ws, fc):
+    """Identical-math jnp interpolation (autodiff ground truth).
+
+    Per-level gathers (rows of ``idx``): level-local index ranges make
+    L small takes ~30% faster than one fused take on v5e.
+    """
+    f, c = fc
+    table2d = flat.reshape(-1, f)
+    feats = jnp.concatenate(
+        [jnp.take(table2d, idx[l], axis=0) for l in range(idx.shape[0])],
+        axis=0)
+    return _cols_from_feats(feats, ws, fc), feats
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _grid_interpolate(flat, idx, ws, fc):
-    """All levels' interpolation with a hand-rolled VJP.
+    """All levels' gather + interpolation with a hand-rolled VJP.
 
-    fwd: one gather at ``idx`` (all levels & corners, segment-major:
-    segment s = l·C + c), then cols[l·F+k] = Σ_c ws[l·C+c] ⊙
-    feats_segment(l,c)[:, k].  The custom bwd builds per-feature FLAT
-    gradient streams for ONE Pallas scatter over the whole table —
-    autodiff would route the cotangent through (M, F) skinny
-    intermediates whose lane padding costs more than the scatter
-    itself, and per-level scatters would re-zero the table 16×.
+    The custom bwd scatters ``w·dcols`` into the table with ONE fused
+    Pallas kernel over the whole table (scatter_add_weighted) — the
+    weight multiply happens inside the kernel, so no dense gradient
+    stream is ever materialized (the CUDA reference's
+    kernel_grid_backward does the same fusion in-register,
+    grid.h:214-320).
 
-    Args: flat (N·F,) table; idx (L·C·B,) int32 (level offsets already
-    folded in); ws tuple of L·C (B,) f32 corner weights; fc static
-    (F, C).
-    Returns tuple of L·F (B,) f32 columns, level-major.
+    Args: flat (N·F,) table; idx (L, C·B) int32 rows (level offsets
+    folded in); ws (L·C, B) f32 corner weights; fc static (F, C).
+    Returns (L·F, B) f32 SoA feature columns, level-major.
     """
-    cols, _ = _grid_interpolate_fwd_impl(flat, idx, ws, fc)
+    cols, _ = _interpolate_ref(flat, idx, ws, fc)
     return cols
 
 
-def _grid_interpolate_fwd_impl(flat, idx, ws, fc):
-    f, c = fc
-    b = ws[0].shape[0]
-    n_levels = len(ws) // c
-    # Per-level gathers (idx is a tuple): per-level index locality makes
-    # 16 small takes ~30% faster than one fused take on v5e.
-    table2d = flat.reshape(-1, f)
-    feats = [jnp.take(table2d, ix, axis=0).astype(jnp.float32) for ix in idx]
-    cols = []
-    for l in range(n_levels):
-        for k in range(f):
-            col = jnp.zeros((b,), jnp.float32)
-            for ci in range(c):
-                col = col + feats[l][ci * b:(ci + 1) * b, k] * ws[l * c + ci]
-            cols.append(col)
-    return tuple(cols), tuple(feats)
-
-
 def _grid_interpolate_vjp_fwd(flat, idx, ws, fc):
-    cols, feats = _grid_interpolate_fwd_impl(flat, idx, ws, fc)
+    cols, feats = _interpolate_ref(flat, idx, ws, fc)
     return cols, (idx, ws, feats, flat.shape[0])
 
 
 def _grid_interpolate_vjp_bwd(fc, res, dcols):
-    from .pallas.scatter import scatter_add_cols
+    from .pallas.scatter import scatter_add_weighted
 
     f, c = fc
     idx, ws, feats, n_flat = res
-    n_seg = len(ws)
-    b = ws[0].shape[0]
-    # d/dtable: segment s = l·C + ci gets g_k = ws[s] ⊙ dcols[l·F+k];
-    # ONE scatter over the whole table (per-level scatters would re-zero
-    # the 5.6 MB gradient accumulator L times).
-    gs = tuple(
-        jnp.concatenate([ws[s] * dcols[(s // c) * f + k]
-                         for s in range(n_seg)])
-        for k in range(f))
-    dflat = scatter_add_cols(jnp.concatenate(idx), gs, n_flat // f)
-    # d/dws[s] = Σ_k dcols[l·F+k] ⊙ feats_level(s//c)[segment s%c][:, k].
-    dws = []
-    for s in range(n_seg):
-        l, ci = divmod(s, c)
-        dw = jnp.zeros((b,), jnp.float32)
-        for k in range(f):
-            dw = dw + dcols[l * f + k] * feats[l][ci * b:(ci + 1) * b, k]
-        dws.append(dw)
-    return dflat, None, tuple(dws)
+    lc, b = ws.shape
+    n_lvl = lc // c
+    dflat = scatter_add_weighted(idx.reshape(-1), ws.reshape(-1), dcols,
+                                 n_flat // f, f, c)
+    # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k]  (only needed
+    # for input gradients; XLA dead-code-eliminates this when dx is
+    # unused, dropping the feats residual with it).
+    fr = feats.reshape(n_lvl, c, b, f).astype(jnp.float32)
+    dcr = dcols.reshape(n_lvl, f, b)
+    dws = fr[..., 0] * dcr[:, None, 0, :]
+    for k in range(1, f):
+        dws = dws + fr[..., k] * dcr[:, None, k, :]
+    return dflat, None, dws.reshape(lc, b)
 
 
 _grid_interpolate.defvjp(_grid_interpolate_vjp_fwd, _grid_interpolate_vjp_bwd)
@@ -345,94 +438,35 @@ def grid_encode(
     # canonical param storage (compact 1-D layout — a skinny (N, F)
     # array is lane-padded 128/F× on TPU, taxing every optimizer pass).
     flat = table.reshape(-1)
-    n_rows = flat.shape[0] // F
-    take_fn = lambda fl, i: jnp.take(  # noqa: E731
-        fl.reshape(n_rows, F), i, axis=0)
     B = x.shape[0]
-    D = spec.n_dims
-    C = 1 << D
-    corner_bits = _corner_offsets(D)  # (C, D) numpy, python-level
+    C = 1 << spec.n_dims
 
-    # Dense per-dim formulation: every intermediate is a (B,)-shaped
-    # array (compact layout on TPU).  The (B, C, D) broadcast version
-    # forces padded tiled layouts for the skinny minor dims, which
-    # dominates the step cost on real hardware.
-    xs = [x[:, d].astype(jnp.float32) for d in range(D)]
-
-    cols = []        # L·F dense (B,) feature columns (slow path / zeros)
-    all_idx = []     # fast path: per-live-level (C·B,) index arrays
-    all_ws = []      # fast path: per-live-level C corner-weight arrays
-    live_levels = []
-    for li, level in enumerate(spec.levels):
-        if max_level is not None and li >= max_level:
-            cols.extend(jnp.zeros((B,), dtype=jnp.float32) for _ in range(F))
-            continue
-        cells, w1s = [], []
-        for d in range(D):
-            pos = xs[d] * level.scale + 0.5
-            cell_f = jnp.floor(pos)
-            # (uint32)(int)floorf — wraps negatives exactly like CUDA.
-            cells.append(cell_f.astype(jnp.int32).astype(jnp.uint32))
-            w1s.append(_interp_weight(pos - cell_f, spec.interpolation))
-
-        # One gather covering all corners: idx laid out corner-major.
-        if level.use_hash:
-            factors = hash_factors(spec.hash_type, D)
-            corner_idx = []
-            for c in range(C):
-                h = jnp.zeros((B,), jnp.uint32)
-                for d in range(D):
-                    h = h ^ ((cells[d] + jnp.uint32(corner_bits[c, d]))
-                             * jnp.uint32(factors[d]))
-                corner_idx.append(h)
-        else:
-            corner_idx = []
-            for c in range(C):
-                h = jnp.zeros((B,), jnp.uint32)
-                for d in range(D):
-                    if level.stride_mask[d]:
-                        h = h + ((cells[d] + jnp.uint32(corner_bits[c, d]))
-                                 * jnp.uint32(level.strides[d]))
-                corner_idx.append(h)
-        idx = jnp.concatenate(corner_idx)                       # (C·B,)
-        idx = (idx % jnp.uint32(level.size) + jnp.uint32(level.offset)
-               ).astype(jnp.int32)
-        ws = []
-        for c in range(C):
-            w = jnp.ones((B,), jnp.float32)
-            for d in range(D):
-                w = w * (w1s[d] if corner_bits[c, d] else 1.0 - w1s[d])
-            ws.append(w)
+    live = [li for li in range(spec.n_levels)
+            if max_level is None or li < max_level]
+    if live:
+        idx, ws = _build_indices_weights(spec, x, live)
         if fast_scatter:
-            # Defer: one fused gather+scatter over ALL levels below.
-            all_idx.append(idx)
-            all_ws.extend(ws)
-            live_levels.append(li)
+            cols = _grid_interpolate(flat, idx, ws, (F, C))
         else:
-            feats = take_fn(flat, idx).astype(jnp.float32)      # (C·B, F)
-            for f in range(F):
-                col = jnp.zeros((B,), jnp.float32)
-                for c in range(C):
-                    col = col + feats[c * B:(c + 1) * B, f] * ws[c]
-                cols.append(col)
-    if fast_scatter and all_idx:
-        live_cols = _grid_interpolate(flat, tuple(all_idx),
-                                      tuple(all_ws), (F, C))
-        # Re-interleave with any masked-level zero columns.
-        it = iter(live_cols)
-        live_set = set(live_levels)
-        merged = []
-        zi = 0
+            cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
+    else:
+        cols = jnp.zeros((0, B), jnp.float32)
+    if len(live) != spec.n_levels:
+        # Re-insert zero rows for max_level-masked levels
+        # (grid.h:69-92): masked levels emit zeros and get zero grads.
+        parts = []
+        it = 0
+        zeros = jnp.zeros((F, B), jnp.float32)
         for li in range(spec.n_levels):
-            if li in live_set:
-                merged.extend(next(it) for _ in range(F))
+            if li in set(live):
+                parts.append(cols[it * F:(it + 1) * F])
+                it += 1
             else:
-                merged.extend(cols[zi + k] for k in range(F))
-                zi += F
-        cols = merged
-    # Feature-major stack: (L·F, B) — major-dim stacking, no lane
-    # shuffles.  The AoS view is one well-optimized XLA transpose.
-    out = jnp.stack(cols, axis=0).astype(table.dtype)
+                parts.append(zeros)
+        cols = jnp.concatenate(parts, axis=0)
+    # Feature-major (L·F, B) SoA — major-dim layout, no lane shuffles.
+    # The AoS view is one well-optimized XLA transpose.
+    out = cols.astype(table.dtype)
     return out if soa else out.T
 
 

@@ -38,6 +38,12 @@ from . import interpret_mode
 # Updates processed per grid step; SMEM windows (idx: 4·TILE bytes,
 # grads: 4·TILE·F bytes, double-buffered) stay well under the 1 MB SMEM.
 _TILE = 16384
+
+
+def _tile_for(f: int) -> int:
+    """Scale the SMEM tile down with F so the double-buffered gradient
+    window (2·4·TILE·F bytes) stays within the SMEM budget at F=4/8."""
+    return _TILE * 2 // max(f, 2)
 _UNROLL = 16
 # Up to two independent VMEM accumulators, summed at the end: the
 # serial read-modify-write dependency chain on ONE accumulator is the
@@ -117,27 +123,30 @@ def _scatter_add_packed(idx: jax.Array, g: jax.Array, n_rows: int,
                         f: int) -> jax.Array:
     """(M,) int32 idx + (M, F) f32 grads -> (n_rows, F) f32 table grads."""
     m = idx.shape[0]
-    pm = pl.cdiv(max(m, 1), _TILE) * _TILE
+    tile = _tile_for(f)
+    pm = pl.cdiv(max(m, 1), tile) * tile
+    rows = _packed_rows(n_rows, f)
+    n_acc = _pick_n_acc(rows)
+    if n_acc == 0 or _LANES % f != 0:
+        # Table too large for VMEM residency, or F doesn't divide the
+        # lane count (the packed layout assumes it; the reference
+        # statically forbids such F too, grid.h:1186-1196): XLA scatter
+        # (also deterministic, ~10x slower per row).
+        out = jnp.zeros((n_rows, f), jnp.float32)
+        out = out.at[idx].add(g.astype(jnp.float32))
+        return out.reshape(-1)
     if pm != m:
         # Padding scatters 0.0 into row 0 — harmless.
         idx = jnp.pad(idx, (0, pm - m))
         g = jnp.pad(g, ((0, pm - m), (0, 0)))
-    rows = _packed_rows(n_rows, f)
-    n_acc = _pick_n_acc(rows)
-    if n_acc == 0:
-        # Table too large for VMEM residency: XLA scatter (also
-        # deterministic, ~10x slower per row).
-        out = jnp.zeros((n_rows, f), jnp.float32)
-        out = out.at[idx].add(g.astype(jnp.float32))
-        return out.reshape(-1)
 
     kernel = functools.partial(_scatter_kernel, f)
     packed = pl.pallas_call(
         kernel,
-        grid=(pm // _TILE,),
+        grid=(pm // tile,),
         in_specs=[
-            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TILE * f,), lambda i: (i,),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile * f,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rows, _LANES), lambda i: (0, 0),
@@ -204,23 +213,24 @@ def scatter_add_cols(idx: jax.Array, gs: Tuple[jax.Array, ...],
 def _scatter_add_cols_impl(idx, gs, n_rows):
     f = len(gs)
     m = idx.shape[0]
-    pm = pl.cdiv(max(m, 1), _TILE) * _TILE
-    if pm != m:
-        idx = jnp.pad(idx, (0, pm - m))
-        gs = tuple(jnp.pad(g, (0, pm - m)) for g in gs)
+    tile = _tile_for(f)
     rows = _packed_rows(n_rows, f)
     n_acc = _pick_n_acc(rows)
-    if n_acc == 0:
+    if n_acc == 0 or _LANES % f != 0:
         out = jnp.zeros((n_rows, f), jnp.float32)
         out = out.at[idx].add(
             jnp.stack([g.astype(jnp.float32) for g in gs], axis=-1))
         return out.reshape(-1)
+    pm = pl.cdiv(max(m, 1), tile) * tile
+    if pm != m:
+        idx = jnp.pad(idx, (0, pm - m))
+        gs = tuple(jnp.pad(g, (0, pm - m)) for g in gs)
 
     kernel = functools.partial(_scatter_cols_kernel, f)
     packed = pl.pallas_call(
         kernel,
-        grid=(pm // _TILE,),
-        in_specs=[pl.BlockSpec((_TILE,), lambda i: (i,),
+        grid=(pm // tile,),
+        in_specs=[pl.BlockSpec((tile,), lambda i: (i,),
                                memory_space=pltpu.SMEM)] * (1 + f),
         out_specs=pl.BlockSpec((rows, _LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -336,3 +346,158 @@ def _scatter_flat_bwd(n_rows, f, idx, dflat):
 
 scatter_add_rows_flat.defvjp(_scatter_flat_fwd, _scatter_flat_bwd)
 fast_take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused weighted scatter: g = w · dy formed INSIDE the kernel.
+#
+# The grid encoding's table gradient is Σ over updates of
+# w[s,b] · dL/dy[level(s)·F+k, b] scattered into corner rows.  Building
+# those products in XLA materializes F dense (M,) gradient streams
+# (~270 MB/step at the flagship batch) that the kernel then re-reads;
+# the CUDA reference instead forms the product in-register inside
+# kernel_grid_backward (grid.h:214-320).  This kernel is the TPU
+# equivalent: the corner weights stream through SMEM next to the
+# indices, the SoA cotangent (L·F, B) streams through SMEM a
+# (F, TILE) block at a time, and the multiply happens on the scalar
+# unit right before the masked VMEM accumulate.
+# ---------------------------------------------------------------------------
+
+
+def _weighted_kernel(f, idx_ref, w_ref, d_ref, out_ref, *acc_refs):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for acc in acc_refs:
+            acc[...] = jnp.zeros_like(acc)
+
+    per_row = _LANES // f
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def body(j, _):
+        for u in range(_UNROLL):
+            i = j * _UNROLL + u
+            r = idx_ref[i]
+            w = w_ref[i]
+            row = r // per_row
+            lane0 = (r % per_row) * f
+            add = jnp.where(lanes == lane0, w * d_ref[0, i], 0.0)
+            for k in range(1, f):
+                add = add + jnp.where(lanes == lane0 + k,
+                                      w * d_ref[k, i], 0.0)
+            acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
+        return 0
+
+    jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        total = acc_refs[0][...]
+        for acc in acc_refs[1:]:
+            total = total + acc[...]
+        out_ref[...] = total
+
+
+def _weighted_tile(b: int, f: int) -> int:
+    """Largest SMEM tile that divides the per-segment batch b (the
+    dcols block map needs tiles that never straddle a level/corner
+    segment boundary).  0 = no usable tile → caller falls back."""
+    p2 = b & (-b)  # largest power-of-two divisor
+    tile = min(_tile_for(f), p2)
+    return tile if tile >= 256 else 0
+
+
+def _scatter_weighted_xla(idx, w, dcols, n_rows, f, c):
+    lf, b = dcols.shape
+    n_lvl = lf // f
+    # (L, C, B, F) product, flattened to the update stream's order.
+    g = (w.reshape(n_lvl, c, b, 1)
+         * dcols.reshape(n_lvl, 1, f, b).transpose(0, 1, 3, 2))
+    out = jnp.zeros((n_rows, f), jnp.float32)
+    return out.at[idx].add(g.reshape(-1, f).astype(jnp.float32)).reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def scatter_add_weighted(idx: jax.Array, w: jax.Array, dcols: jax.Array,
+                         n_rows: int, f: int, c: int) -> jax.Array:
+    """Deterministic scatter of ``w·dcols`` products into a flat table.
+
+    Args:
+      idx:   (M,) int32 table row per update, M = L·C·B, level-major
+             then corner-major then batch (segment s = l·C + c).
+      w:     (M,) f32 corner interpolation weights, same order.
+      dcols: (L·F, B) f32 SoA output cotangent (level-major rows).
+      n_rows, f, c: static table rows, features/level, corners.
+
+    Returns the FLAT (n_rows·f,) f32 gradient table where row
+    ``idx[s·B+b]`` accumulates ``w[s·B+b] · dcols[(s//c)·F+k, b]`` in
+    feature lane k — update order, hence determinism, fixed by the
+    serial TPU grid.
+    """
+    return _scatter_weighted_impl(idx, w, dcols, n_rows, f, c)
+
+
+def _scatter_weighted_impl(idx, w, dcols, n_rows, f, c):
+    lf, b = dcols.shape
+    m = idx.shape[0]
+    rows = _packed_rows(n_rows, f)
+    n_acc = _pick_n_acc(rows)
+    tile = _weighted_tile(b, f)
+    if n_acc == 0 or _LANES % f != 0 or tile == 0:
+        return _scatter_weighted_xla(idx, w, dcols, n_rows, f, c)
+
+    bt = b // tile  # dcols blocks per (level, corner) segment
+    kernel = functools.partial(_weighted_kernel, f)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((f, tile), lambda t: (t // (c * bt), t % bt),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, _LANES), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)
+                        for _ in range(n_acc)],
+        compiler_params=_compiler_params(rows, n_acc),
+        interpret=interpret_mode(),
+    )(idx.astype(jnp.int32), w.astype(jnp.float32),
+      dcols.astype(jnp.float32))
+    return packed.reshape(-1)[: n_rows * f]
+
+
+def _scatter_weighted_fwd(idx, w, dcols, n_rows, f, c):
+    return (scatter_add_weighted(idx, w, dcols, n_rows, f, c),
+            (idx, w, dcols))
+
+
+def _scatter_weighted_bwd(n_rows, f, c, res, ct):
+    """VJP of the bilinear (w, dcols) ↦ scatter(w·dcols) map.
+
+    Only reached under second-order differentiation of the grid
+    encoding (eikonal/SDF losses); first-order training never comes
+    here.  The gather uses fast_take_flat so a further derivative stays
+    on the Pallas pair.
+    """
+    idx, w, dcols = res
+    lf, b = dcols.shape
+    n_lvl = lf // f
+    g = fast_take_flat(ct, idx, f).astype(jnp.float32)  # (M, F)
+    gr = g.reshape(n_lvl, c, b, f)
+    dcr = dcols.reshape(n_lvl, f, b).astype(jnp.float32)
+    # dw[l,c,b] = Σ_k dcols[l,k,b] · g[l,c,b,k]
+    dw = jnp.zeros((n_lvl, c, b), jnp.float32)
+    for k in range(f):
+        dw = dw + gr[..., k] * dcr[:, None, k, :]
+    # d_dcols[l,k,b] = Σ_c w[l,c,b] · g[l,c,b,k]
+    wr = w.reshape(n_lvl, c, b).astype(jnp.float32)
+    ddc = jnp.stack([jnp.sum(wr * gr[..., k], axis=1) for k in range(f)],
+                    axis=1).reshape(lf, b)
+    return None, dw.reshape(-1), ddc
+
+
+scatter_add_weighted.defvjp(_scatter_weighted_fwd, _scatter_weighted_bwd)

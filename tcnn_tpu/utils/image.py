@@ -168,7 +168,9 @@ class ImageSampler:
             off = jax.random.randint(key, (), 0, pn)
             idx = (off + jnp.arange(n)) % pn
             return jnp.take(pool_xy, idx, axis=0), jnp.take(pool_rgb, idx, axis=0)
-        off = jax.random.randint(key, (), 0, pn - n)
+        # maxval is exclusive: pn - n + 1 lets the window reach the
+        # last pool entry (off == pn - n), so every pixel is sampled.
+        off = jax.random.randint(key, (), 0, pn - n + 1)
         xy = jax.lax.dynamic_slice_in_dim(pool_xy, off, n)
         rgb = jax.lax.dynamic_slice_in_dim(pool_rgb, off, n)
         return xy, rgb
