@@ -1,0 +1,143 @@
+"""Scaling-efficiency benchmark: samples/s/device at 1..N devices.
+
+BASELINE.md's north star asks for ≥0.9 scaling efficiency going from
+one chip to N.  This harness measures data-parallel training
+throughput per device over growing sub-meshes and reports
+efficiency(n) = throughput(n) / (n · throughput(1)).
+
+It runs unchanged on
+  * the virtual 8-device CPU mesh (default here; validates the
+    measurement logic and the DP step without a pod):
+        python benchmarks/scaling.py
+  * real multi-chip/multi-host TPU (run on every host):
+        TCNN_SCALING_REAL=1 python benchmarks/scaling.py
+
+Timing uses the scan-slope method (benchmarks/microbench.py): K steps
+inside ONE compiled dispatch, scalar readback, slope over two K values
+— honest on the axon tunnel, harmless on CPU.
+
+Writes benchmarks/scaling_result.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+import numpy as np
+
+
+def main():
+    real = os.environ.get("TCNN_SCALING_REAL")
+    if not real:
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8")
+
+    import jax
+
+    if not real:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+        except Exception:
+            pass
+    else:
+        from tcnn_tpu.parallel.launch import initialize_distributed
+
+        initialize_distributed()
+
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tcnn
+    from tcnn_tpu.parallel import DataParallel, make_mesh
+
+    n_all = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_all]
+    per_device_batch = int(os.environ.get("TCNN_SCALING_BATCH", 1 << 14))
+
+    def fetch(x):
+        return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+    def build(n):
+        dp = DataParallel(make_mesh(jax.devices()[:n]))
+        model = tcnn.create_from_config(2, 3, {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+            "encoding": {"otype": "HashGrid", "n_levels": 16,
+                         "n_features_per_level": 2, "log2_hashmap_size": 15,
+                         "base_resolution": 16, "per_level_scale": 1.5},
+            "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                        "n_hidden_layers": 2},
+        }, policy=tcnn.BF16_POLICY if real else None)
+        return dp, model
+
+    results = {}
+    for n in sizes:
+        dp, model = build(n)
+        trainer = model.trainer
+        batch = per_device_batch * n
+        batch_s = dp.batch_sharding
+
+        def make_loop(k):
+            def loop(state, key):
+                def body(st, i):
+                    kk = jax.random.fold_in(key, i)
+                    x = jax.lax.with_sharding_constraint(
+                        jax.random.uniform(kk, (batch, 2)), batch_s)
+                    t = jax.lax.with_sharding_constraint(
+                        jax.random.uniform(jax.random.fold_in(kk, 1),
+                                           (batch, 3)), batch_s)
+                    st, loss = trainer._training_step(st, x, t, None)
+                    return st, loss
+
+                _, losses = jax.lax.scan(body, state, jnp.arange(k))
+                return losses[-1]
+
+            return jax.jit(loop, in_shardings=(dp.replicated, None))
+
+        state = dp.replicate(trainer.initial_state())
+        times = {}
+        ks = (2, 8)
+        for k in ks:
+            f = make_loop(k)
+            fetch(f(state, jax.random.key(0)))  # compile + warm
+            t0 = time.perf_counter()
+            fetch(f(state, jax.random.key(1)))
+            times[k] = time.perf_counter() - t0
+        per_step = (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
+        sps = batch / per_step
+        results[n] = {"samples_per_sec": sps,
+                      "samples_per_sec_per_device": sps / n,
+                      "step_ms": per_step * 1e3,
+                      "global_batch": batch}
+        print(f"n={n}: {sps:,.0f} samples/s "
+              f"({sps / n:,.0f}/device, step {per_step * 1e3:.2f} ms)",
+              flush=True)
+
+    base = results[sizes[0]]["samples_per_sec"]
+    for n in sizes:
+        results[n]["efficiency"] = results[n]["samples_per_sec"] / (n * base)
+        print(f"n={n}: efficiency {results[n]['efficiency']:.3f}")
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "n_devices_available": n_all,
+        "per_device_batch": per_device_batch,
+        "virtual_cpu_mesh": not bool(real),
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(__file__), "scaling_result.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

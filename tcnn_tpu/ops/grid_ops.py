@@ -54,6 +54,8 @@ _MAX_PARAMS = 2 ** 31  # uint32_max/2 cap (grid.h:696)
 
 
 def hash_factors(hash_type: HashType, n_dims: int) -> Tuple[int, ...]:
+    """LCG hash factors (common_device.h:648-661).  HashType.RNG has no
+    factors — call sites route it to pcg32_hash.rng_hash instead."""
     if hash_type == HashType.PRIME:
         f = PRIME_HASH_FACTORS
     elif hash_type == HashType.COHERENT_PRIME:
@@ -61,12 +63,24 @@ def hash_factors(hash_type: HashType, n_dims: int) -> Tuple[int, ...]:
     elif hash_type == HashType.REVERSED_PRIME:
         f = REVERSED_PRIME_HASH_FACTORS
     else:
-        raise NotImplementedError(
-            f"Hash type {hash_type} is not implemented (reference supports it "
-            "via pcg32 skip-ahead; add if ever needed in practice)")
+        raise ValueError(f"hash type {hash_type} has no LCG factors")
     if n_dims > len(f):
         raise ValueError(f"grid hash supports at most {len(f)} dims")
     return f[:n_dims]
+
+
+def _hash_coords(hash_type: HashType, coords: Sequence[jax.Array]) -> jax.Array:
+    """Spatial hash of per-dim uint32 coordinate arrays
+    (grid_hash, common_device.h:678-691)."""
+    if hash_type == HashType.RNG:
+        from . import pcg32_hash
+
+        return pcg32_hash.rng_hash(list(coords))
+    factors = hash_factors(hash_type, len(coords))
+    h = coords[0] * jnp.uint32(factors[0])
+    for d in range(1, len(coords)):
+        h = h ^ (coords[d] * jnp.uint32(factors[d]))
+    return h
 
 
 def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
@@ -182,10 +196,8 @@ def level_indices(spec: GridSpec, level: LevelSpec, pos_grid: jax.Array) -> jax.
     table* (level offset included).
     """
     if level.use_hash:
-        factors = hash_factors(spec.hash_type, spec.n_dims)
-        idx = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
-        for d in range(spec.n_dims):
-            idx = idx ^ (pos_grid[..., d] * jnp.uint32(factors[d]))
+        idx = _hash_coords(spec.hash_type,
+                           [pos_grid[..., d] for d in range(spec.n_dims)])
     else:
         idx = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
         for d in range(spec.n_dims):
@@ -296,14 +308,11 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
         offsets = _const_col([levels[p].offset for p in ps], np.uint32)
         corner_idx = []
         if use_hash:
-            factors = hash_factors(spec.hash_type, D)
             for c in range(C):
-                h = ((cells[0][p0:p1] + jnp.uint32(corner_bits[c, 0]))
-                     * jnp.uint32(factors[0]))
-                for d in range(1, D):
-                    h = h ^ ((cells[d][p0:p1] + jnp.uint32(corner_bits[c, d]))
-                             * jnp.uint32(factors[d]))
-                corner_idx.append(h)
+                corner_idx.append(_hash_coords(
+                    spec.hash_type,
+                    [cells[d][p0:p1] + jnp.uint32(corner_bits[c, d])
+                     for d in range(D)]))
         else:
             strides = [
                 _const_col([levels[p].strides[d] for p in ps], np.uint32)

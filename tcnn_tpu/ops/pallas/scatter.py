@@ -364,13 +364,21 @@ fast_take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _weighted_kernel(f, idx_ref, w_ref, d_ref, out_ref, *acc_refs):
+def _weighted_kernel(f, c_bt, lvls_per_block, idx_ref, w_ref, d_ref,
+                     out_ref, *acc_refs):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         for acc in acc_refs:
             acc[...] = jnp.zeros_like(acc)
+
+    # The dcols block holds lvls_per_block levels' rows (TPU wants
+    # 8-divisible second-to-last block dims); pick this tile's level.
+    import numpy as _np
+
+    lvl = jax.lax.div(step, _np.int32(c_bt))
+    row0 = jax.lax.rem(lvl, _np.int32(lvls_per_block)) * f
 
     per_row = _LANES // f
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
@@ -382,10 +390,10 @@ def _weighted_kernel(f, idx_ref, w_ref, d_ref, out_ref, *acc_refs):
             w = w_ref[i]
             row = r // per_row
             lane0 = (r % per_row) * f
-            add = jnp.where(lanes == lane0, w * d_ref[0, i], 0.0)
+            add = jnp.where(lanes == lane0, w * d_ref[row0, i], 0.0)
             for k in range(1, f):
                 add = add + jnp.where(lanes == lane0 + k,
-                                      w * d_ref[k, i], 0.0)
+                                      w * d_ref[row0 + k, i], 0.0)
             acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
         return 0
 
@@ -402,9 +410,15 @@ def _weighted_kernel(f, idx_ref, w_ref, d_ref, out_ref, *acc_refs):
 def _weighted_tile(b: int, f: int) -> int:
     """Largest SMEM tile that divides the per-segment batch b (the
     dcols block map needs tiles that never straddle a level/corner
-    segment boundary).  0 = no usable tile → caller falls back."""
+    segment boundary).  0 = no usable tile → caller falls back.
+
+    The dcols window is max(8, f) rows × tile (8-row minimum from the
+    TPU block-shape rule), so the tile shrinks to keep the
+    double-buffered window within the SMEM budget."""
+    rows_per_block = max(8, f)
+    tile_cap = max(256, (256 * 1024) // (4 * rows_per_block))
     p2 = b & (-b)  # largest power-of-two divisor
-    tile = min(_tile_for(f), p2)
+    tile = min(_TILE, tile_cap, p2)
     return tile if tile >= 256 else 0
 
 
@@ -448,14 +462,28 @@ def _scatter_weighted_impl(idx, w, dcols, n_rows, f, c):
         return _scatter_weighted_xla(idx, w, dcols, n_rows, f, c)
 
     bt = b // tile  # dcols blocks per (level, corner) segment
-    kernel = functools.partial(_weighted_kernel, f)
+    # The dcols block must have an 8-divisible row count: group
+    # ceil(8/f) levels per block (rows padded to a multiple), and let
+    # the kernel pick its level's rows via the program id.
+    rows_per_block = max(8, f)
+    lvls_per_block = rows_per_block // f
+    pad_rows = (-lf) % rows_per_block
+    if pad_rows:
+        dcols = jnp.pad(dcols, ((0, pad_rows), (0, 0)))
+    kernel = functools.partial(_weighted_kernel, f, c * bt, lvls_per_block)
+    # Index maps must stay plain lax div/rem — jnp's Python-operator
+    # remainder carries sign-correction selects.
+    import numpy as _np
+
+    dcols_map = lambda t: (jax.lax.div(t, _np.int32(c * bt * lvls_per_block)),
+                           jax.lax.rem(t, _np.int32(bt)))
     packed = pl.pallas_call(
         kernel,
         grid=(m // tile,),
         in_specs=[
             pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((f, tile), lambda t: (t // (c * bt), t % bt),
+            pl.BlockSpec((rows_per_block, tile), dcols_map,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rows, _LANES), lambda t: (0, 0),

@@ -114,7 +114,7 @@ class Adam(Optimizer):
             new_p = jnp.where(update, new_p, p32).astype(p.dtype)
             return new_p, new_mu, new_nu, new_steps
 
-        layout = self._layout
+        layout = self._init_attr('_layout')
         flat_p, treedef = jax.tree_util.tree_flatten(params)
         flat_g = treedef.flatten_up_to(grads)
         flat_mu = treedef.flatten_up_to(state["mu"])

@@ -49,6 +49,20 @@ class Optimizer:
     def init(self, params: Params, layout: Params) -> State:
         raise NotImplementedError
 
+    def _init_attr(self, name: str):
+        """Fetch layout metadata recorded by ``init`` with a clear error
+        when ``step`` is called on a never-initialized optimizer (e.g. a
+        state restored in a fresh process without going through
+        Trainer.initial_state / deserialize)."""
+        try:
+            return getattr(self, name)
+        except AttributeError:
+            raise RuntimeError(
+                f"{type(self).__name__}.step/custom_weights called before "
+                "init(): call init(params, layout) — or restore state via "
+                "Trainer.initial_state()/Trainer.deserialize(), which do — "
+                "so the parameter layout is known") from None
+
     def step(self, state: State, grads: Params, params: Params,
              lr_scale=1.0) -> Tuple[State, Params]:
         raise NotImplementedError

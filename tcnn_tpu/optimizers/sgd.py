@@ -23,7 +23,7 @@ class SGD(Optimizer):
 
         flat_p, treedef = jax.tree_util.tree_flatten(params)
         flat_g = treedef.flatten_up_to(grads)
-        flat_kind = treedef.flatten_up_to(self._layout)
+        flat_kind = treedef.flatten_up_to(self._init_attr('_layout'))
         new_p = []
         for p, g, kind in zip(flat_p, flat_g, flat_kind):
             g = g.astype(jnp.float32)
@@ -79,7 +79,7 @@ class Novograd(Optimizer):
         flat_g = treedef.flatten_up_to(grads)
         flat_mu = treedef.flatten_up_to(state["mu"])
         flat_v = treedef.flatten_up_to(state["v"])
-        flat_kind = treedef.flatten_up_to(self._layout)
+        flat_kind = treedef.flatten_up_to(self._init_attr('_layout'))
         lr = self.lr * lr_scale
 
         new_p, new_mu, new_v = [], [], []

@@ -124,9 +124,10 @@ class Shampoo(Optimizer):
         interval = jnp.where(t < 100, jnp.uint32(10), jnp.uint32(200))
         refresh = (t == 1) | ((t % interval) == 0)
 
-        flat_p = self._treedef.flatten_up_to(params)
-        flat_g = self._treedef.flatten_up_to(grads)
-        kinds = self._treedef.flatten_up_to(self._layout)
+        treedef = self._init_attr('_treedef')
+        flat_p = treedef.flatten_up_to(params)
+        flat_g = treedef.flatten_up_to(grads)
+        kinds = treedef.flatten_up_to(self._layout)
 
         new_leaves, new_p = [], []
         for p, g, st, kind in zip(flat_p, flat_g, state["leaves"], kinds):
@@ -174,7 +175,7 @@ class Shampoo(Optimizer):
             new_leaves.append(st2)
 
         return ({"leaves": tuple(new_leaves), "step": t},
-                self._treedef.unflatten(new_p))
+                treedef.unflatten(new_p))
 
     @property
     def learning_rate(self):

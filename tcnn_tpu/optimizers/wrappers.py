@@ -366,7 +366,7 @@ class Composite(Optimizer):
         }
 
     def step(self, state, grads, params, lr_scale=1.0):
-        treedef = self._treedef
+        treedef = self._init_attr('_treedef')
         assign = self._assignment
         p_groups = self._split(params, assign, treedef)
         g_groups = self._split(grads, assign, treedef)
@@ -382,7 +382,7 @@ class Composite(Optimizer):
         return {"nested": tuple(new_states)}, treedef.unflatten(flat)
 
     def custom_weights(self, state, params):
-        treedef = self._treedef
+        treedef = self._init_attr('_treedef')
         assign = self._assignment
         p_groups = self._split(params, assign, treedef)
         cw_groups = []

@@ -63,24 +63,21 @@ class DataParallel:
         return jax.device_put(tree, self.replicated)
 
     # -- compiled steps -----------------------------------------------
-    def make_training_step(self, trainer):
+    def make_training_step(self, trainer, with_pdf: bool = False):
         """jit the trainer's step with explicit shardings: donated
-        replicated state, batch-sharded inputs, replicated outputs.
+        replicated state, batch-sharded inputs (x, target, and the
+        importance-sampling pdf when ``with_pdf``), replicated outputs.
 
         The resulting executable contains the cross-replica all-reduce
         of parameter gradients (one psum per parameter group, which XLA
         schedules concurrently with unrelated backward work)."""
         state_s = self.replicated
         batch_s = self.batch_sharding
-
-        def step(state, x, target):
-            return trainer._training_step(state, x, target, None)
-
-        return jax.jit(
-            step,
-            in_shardings=(state_s, batch_s, batch_s),
+        n_batch_args = 3 if with_pdf else 2
+        return trainer.make_training_step(
+            with_pdf=with_pdf,
+            in_shardings=(state_s,) + (batch_s,) * n_batch_args,
             out_shardings=(state_s, state_s),
-            donate_argnums=(0,),
         )
 
     def make_inference(self, trainer):

@@ -125,6 +125,54 @@ class Trainer:
             return self._jitted_step_no_pdf(state, x, target)
         return self._jitted_step(state, x, target, pdf)
 
+    def make_training_step(self, *, with_pdf: bool = False,
+                           in_shardings=None, out_shardings=None,
+                           donate_state: bool = True):
+        """Public jitted step factory — the supported way to compile
+        this trainer's step under explicit shardings (DataParallel uses
+        it; single- and multi-chip paths share the same step function).
+
+        Returns ``step(state, x, target[, pdf]) -> (state, loss)``.
+        """
+        if with_pdf:
+            fn = self._training_step
+        else:
+            def fn(state, x, target):
+                return self._training_step(state, x, target, None)
+        kwargs = {}
+        if in_shardings is not None:
+            kwargs["in_shardings"] = in_shardings
+        if out_shardings is not None:
+            kwargs["out_shardings"] = out_shardings
+        return jax.jit(fn, donate_argnums=(0,) if donate_state else (),
+                       **kwargs)
+
+    # -- training from external output gradients ----------------------
+    def _training_step_external(self, state: TrainerState, x, dL_dy):
+        def fwd(p):
+            return self.model.apply(p, x).astype(jnp.float32)
+
+        pred, vjp = jax.vjp(fwd, state.params)
+        (grads,) = vjp(dL_dy.astype(jnp.float32))
+        opt_state, params = self.optimizer.step(state.opt_state, grads,
+                                                state.params)
+        return TrainerState(params=params, opt_state=opt_state,
+                            step=state.step + 1), pred
+
+    @functools.cached_property
+    def _jitted_step_external(self):
+        return jax.jit(self._training_step_external, donate_argnums=(0,))
+
+    def training_step_external_dL_dy(
+            self, state: TrainerState, x, dL_dy
+    ) -> Tuple[TrainerState, jax.Array]:
+        """Training step driven by externally-supplied output gradients
+        instead of a loss (``Trainer::training_step``'s ``external_dL_dy``
+        overload, trainer.h:97-123).  Returns (new_state, prediction) —
+        the reference likewise hands back the forward output so callers
+        can build their own loss pipelines around it."""
+        return self._jitted_step_external(state, x, dL_dy)
+
     # -- multi-step loops (CUDA-graph-replay analog) ------------------
     def make_training_loop(self, sample_fn, n_steps: int, sample_data=None):
         """Compile ``n_steps`` training steps into ONE executable.
@@ -218,7 +266,8 @@ class Trainer:
 
     def invalidate_jit_cache(self) -> None:
         for attr in ("_jitted_step", "_jitted_step_no_pdf",
-                     "_jitted_inference", "_jitted_forward"):
+                     "_jitted_step_external", "_jitted_inference",
+                     "_jitted_forward"):
             self.__dict__.pop(attr, None)
         self._jit_cache.clear()
 

@@ -146,6 +146,54 @@ class TestGridForward:
                    for v in y)
 
 
+class TestRngHash:
+    """HashType.Rng — pcg32 skip-ahead hash (common_device.h:678-691,
+    pcg32.h).  The traced uint32-limb implementation must be bit-exact
+    to the pure-Python pcg32 model."""
+
+    @pytest.mark.parametrize("d", [2, 3, 4])
+    def test_vectorized_matches_host_model(self, d):
+        from tcnn_tpu.ops import pcg32_hash
+
+        rs = np.random.RandomState(d)
+        coords = rs.randint(0, 2 ** 32, size=(d, 64), dtype=np.uint64)
+        coords = coords.astype(np.uint32)
+        got = np.asarray(pcg32_hash.rng_hash(
+            [jnp.asarray(coords[i]) for i in range(d)]))
+        want = np.array([pcg32_hash.rng_hash_host(coords[:, j])
+                         for j in range(64)], np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_known_scalar_value(self):
+        # Anchor one value against the hand-traced pcg32 sequence:
+        # advance(0) leaves the seeded state; output is then fixed.
+        from tcnn_tpu.ops import pcg32_hash
+
+        state, inc = pcg32_hash.pcg32_state_after_seed(1337)
+        want = pcg32_hash.pcg32_output(state)
+        got = int(np.asarray(pcg32_hash.rng_hash(
+            [jnp.zeros((1,), jnp.uint32), jnp.zeros((1,), jnp.uint32)]))[0])
+        assert got == want
+
+    def test_grid_encode_with_rng_hash(self):
+        spec = grid_ops.make_grid_spec(3, 3, 2, 6, 8, 1.5,
+                                       hash_type=HashType.RNG)
+        table = jax.random.normal(key(30), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(31), (32, 3))
+        y = grid_ops.grid_encode(spec, table, x)
+        assert y.shape == (32, 6)
+        assert bool(jnp.all(jnp.isfinite(y)))
+        # Differs from the prime hashes (it is a different hash).
+        spec_p = grid_ops.make_grid_spec(3, 3, 2, 6, 8, 1.5,
+                                         hash_type=HashType.PRIME)
+        y_p = grid_ops.grid_encode(spec_p, table, x)
+        assert not np.allclose(np.asarray(y), np.asarray(y_p))
+        # Gradients flow.
+        g = jax.grad(lambda t: float(0) + jnp.sum(
+            grid_ops.grid_encode(spec, t, x) ** 2))(table)
+        assert float(jnp.abs(g).max()) > 0
+
+
 class TestGridGradients:
     """Replaces scripts/test_grid_bwdbwd.py's gradcheck suite.
 
