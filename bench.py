@@ -164,11 +164,19 @@ def main():
 
     # Slope over two chain lengths cancels the dispatch's argument
     # upload (~1.3s for the 64MB operands on the tunnel).  A slope
-    # under 50ms for 60 matmuls is not a credible measurement (the
-    # tunnel occasionally acks without waiting) — report null then.
-    t20, t80 = chain(20), chain(80)
-    tflops = (60 * 2 * 4096 ** 3 / (t80 - t20) / 1e12
-              if (t80 - t20) > 0.05 else None)
+    # under 50ms for 120 matmuls (~2s of real compute on this device)
+    # is not a credible measurement (the tunnel occasionally acks
+    # without waiting) — retry with progressively longer chains before
+    # reporting null.
+    tflops = None
+    for k_hi in (140, 260, 500):
+        t_lo, t_hi = chain(20), chain(k_hi)
+        if (t_hi - t_lo) > 0.05:
+            tflops = (k_hi - 20) * 2 * 4096 ** 3 / (t_hi - t_lo) / 1e12
+            break
+        print(f"warning: TFLOPS probe slope {t_hi - t_lo:.3f}s over "
+              f"{k_hi - 20} matmuls not credible; retrying longer",
+              file=sys.stderr, flush=True)
     REFERENCE_GPU_TFLOPS = 82.6  # RTX 4090 bf16 (dense)
 
     result = {

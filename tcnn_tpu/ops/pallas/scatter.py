@@ -364,21 +364,16 @@ fast_take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _weighted_kernel(f, c_bt, lvls_per_block, idx_ref, w_ref, d_ref,
-                     out_ref, *acc_refs):
+def _weighted_kernel(f, idx_ref, w_ref, *rest):
+    d_refs = rest[:f]          # per-feature (tile,) slices of flat dcols
+    out_ref = rest[f]
+    acc_refs = rest[f + 1:]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         for acc in acc_refs:
             acc[...] = jnp.zeros_like(acc)
-
-    # The dcols block holds lvls_per_block levels' rows (TPU wants
-    # 8-divisible second-to-last block dims); pick this tile's level.
-    import numpy as _np
-
-    lvl = jax.lax.div(step, _np.int32(c_bt))
-    row0 = jax.lax.rem(lvl, _np.int32(lvls_per_block)) * f
 
     per_row = _LANES // f
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
@@ -390,10 +385,10 @@ def _weighted_kernel(f, c_bt, lvls_per_block, idx_ref, w_ref, d_ref,
             w = w_ref[i]
             row = r // per_row
             lane0 = (r % per_row) * f
-            add = jnp.where(lanes == lane0, w * d_ref[row0, i], 0.0)
+            add = jnp.where(lanes == lane0, w * d_refs[0][i], 0.0)
             for k in range(1, f):
                 add = add + jnp.where(lanes == lane0 + k,
-                                      w * d_ref[row0 + k, i], 0.0)
+                                      w * d_refs[k][i], 0.0)
             acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
         return 0
 
@@ -409,16 +404,10 @@ def _weighted_kernel(f, c_bt, lvls_per_block, idx_ref, w_ref, d_ref,
 
 def _weighted_tile(b: int, f: int) -> int:
     """Largest SMEM tile that divides the per-segment batch b (the
-    dcols block map needs tiles that never straddle a level/corner
-    segment boundary).  0 = no usable tile → caller falls back.
-
-    The dcols window is max(8, f) rows × tile (8-row minimum from the
-    TPU block-shape rule), so the tile shrinks to keep the
-    double-buffered window within the SMEM budget."""
-    rows_per_block = max(8, f)
-    tile_cap = max(256, (256 * 1024) // (4 * rows_per_block))
+    dcols stream maps need tiles that never straddle a level/corner
+    segment boundary).  0 = no usable tile → caller falls back."""
     p2 = b & (-b)  # largest power-of-two divisor
-    tile = min(_TILE, tile_cap, p2)
+    tile = min(_tile_for(f), p2)
     return tile if tile >= 256 else 0
 
 
@@ -462,30 +451,32 @@ def _scatter_weighted_impl(idx, w, dcols, n_rows, f, c):
         return _scatter_weighted_xla(idx, w, dcols, n_rows, f, c)
 
     bt = b // tile  # dcols blocks per (level, corner) segment
-    # The dcols block must have an 8-divisible row count: group
-    # ceil(8/f) levels per block (rows padded to a multiple), and let
-    # the kernel pick its level's rows via the program id.
-    rows_per_block = max(8, f)
-    lvls_per_block = rows_per_block // f
-    pad_rows = (-lf) % rows_per_block
-    if pad_rows:
-        dcols = jnp.pad(dcols, ((0, pad_rows), (0, 0)))
-    kernel = functools.partial(_weighted_kernel, f, c * bt, lvls_per_block)
-    # Index maps must stay plain lax div/rem — jnp's Python-operator
-    # remainder carries sign-correction selects.
+    kernel = functools.partial(_weighted_kernel, f)
+    # The SoA cotangent streams through SMEM as F per-feature windows
+    # into the SAME flat (L·F·B,) array: feature k of tile t starts at
+    # element ((level·f + k)·B + batch_offset), i.e. 1-D block index
+    # (level·f + k)·bt + batch_block.  1-D blocks sidestep the TPU's
+    # 8×128 block-shape rule, and each window moves only the f·4
+    # bytes/update actually consumed.  Index maps stay plain lax
+    # div/rem — jnp's Python operators carry sign-correction selects.
     import numpy as _np
 
-    dcols_map = lambda t: (jax.lax.div(t, _np.int32(c * bt * lvls_per_block)),
-                           jax.lax.rem(t, _np.int32(bt)))
+    def _dmap(k):
+        def m_(t):
+            lvl = jax.lax.div(t, _np.int32(c * bt))
+            return ((lvl * f + k) * bt + jax.lax.rem(t, _np.int32(bt)),)
+
+        return m_
+
+    flat_d = dcols.astype(jnp.float32).reshape(-1)
     packed = pl.pallas_call(
         kernel,
         grid=(m // tile,),
         in_specs=[
             pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows_per_block, tile), dcols_map,
-                         memory_space=pltpu.SMEM),
-        ],
+        ] + [pl.BlockSpec((tile,), _dmap(k), memory_space=pltpu.SMEM)
+             for k in range(f)],
         out_specs=pl.BlockSpec((rows, _LANES), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
@@ -494,7 +485,7 @@ def _scatter_weighted_impl(idx, w, dcols, n_rows, f, c):
         compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
     )(idx.astype(jnp.int32), w.astype(jnp.float32),
-      dcols.astype(jnp.float32))
+      *([flat_d] * f))
     return packed.reshape(-1)[: n_rows * f]
 
 
