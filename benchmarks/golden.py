@@ -1,0 +1,103 @@
+"""Golden image-fit convergence run — the reference's regression ritual
+(README.md:69-79: dumped images at 10/100/1000 steps on albert.jpg)
+made quantitative: trains the flagship config_hash model for 1000 steps
+at batch 2^18 on real hardware and records the PSNR trajectory to
+``benchmarks/golden_image_fit.json``.
+
+tests/test_golden.py asserts the committed artifact meets
+reference-comparable thresholds, so convergence quality is pinned by CI
+even though CI itself cannot run 1000 full-batch steps.
+
+Run (TPU):  python benchmarks/golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tcnn_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    import tcnn_tpu as tcnn
+    from tcnn_tpu.utils import metrics
+    from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+
+    ref_img = "/root/reference/data/images/albert.jpg"
+    if os.path.exists(ref_img):
+        img, img_name = load_image(ref_img), "albert.jpg"
+    else:
+        img, img_name = synthetic_image(1024, 1024), "synthetic-1024"
+    sampler = ImageSampler(img)
+
+    batch = 1 << 18
+    model = tcnn.create_from_config(
+        2, 3, os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "config_hash.json"),
+        policy=tcnn.BF16_POLICY)
+    trainer = model.trainer
+    state = trainer.initial_state()
+
+    loop10 = trainer.make_training_loop(
+        lambda k, pool: ImageSampler.sample_from_pool(k, pool, batch),
+        10, sample_data=sampler.pool_data())
+
+    coords = sampler.full_grid_coords()
+    ref = np.asarray(sampler.image).reshape(-1, 3)
+
+    def psnr(state):
+        # Full-image inference in chunks (the tunnel round-trips big
+        # outputs slowly; chunking keeps each dispatch modest).
+        preds = []
+        n = coords.shape[0]
+        cs = 1 << 18
+        for i in range(0, n, cs):
+            preds.append(np.asarray(trainer.inference(state,
+                                                      coords[i:i + cs])))
+        pred = np.concatenate(preds, axis=0)
+        return float(metrics.mse2psnr(metrics.mean_MSE(pred, ref)))
+
+    key = jax.random.key(1337)
+    trajectory = {}
+    t0 = time.perf_counter()
+    steps_done = 0
+    for target in (10, 100, 1000):
+        while steps_done < target:
+            state, losses = loop10(state, jax.random.fold_in(key, steps_done))
+            steps_done += 10
+        jax.block_until_ready(losses)
+        trajectory[str(target)] = round(psnr(state), 2)
+        print(f"PSNR@{target}: {trajectory[str(target)]} dB", flush=True)
+    wall = time.perf_counter() - t0
+
+    out = {
+        "image": img_name,
+        "config": "config_hash.json (HashGrid L16 F2 log2=15 + "
+                  "FullyFusedMLP 64x2, RelativeL2, Adam 1e-2)",
+        "batch_size": batch,
+        "psnr_db": trajectory,
+        "train_wall_seconds": round(wall, 1),
+        "device": str(jax.devices()[0]),
+    }
+    path = os.path.join(os.path.dirname(__file__), "golden_image_fit.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

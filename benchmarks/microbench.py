@@ -159,6 +159,23 @@ def main(which):
         slope(lambda K: scan_over(body, K, jnp.float32(0)), ks=(2, 6),
               label=f"XLA take {M} rows")
 
+    if "scatterw" in which or "all" in which:
+        from tcnn_tpu.ops.pallas.scatter import scatter_add_weighted
+
+        N = spec.n_entries
+        L_, C_ = 16, 4
+        M = B * C_ * L_
+        w = jax.random.uniform(jax.random.key(8), (M,))
+        dc = jax.random.normal(jax.random.key(9), (L_ * 2, B))
+
+        def body(c, key):
+            idx = jax.random.randint(key, (M,), 0, N, jnp.int32)
+            out = scatter_add_weighted(idx, w * c, dc, N, 2, C_)
+            return c + 1e-12 * jnp.sum(out)
+
+        slope(lambda K: scan_over(body, K, jnp.float32(1)), ks=(2, 6),
+              label=f"pallas weighted scatter {M} rows")
+
     if "scatter" in which or "all" in which:
         from tcnn_tpu.ops.pallas.scatter import scatter_add_rows
 
@@ -229,6 +246,48 @@ def main2(which):
 
         slope(lambda K: scan_over(body, K, table),
               label=f"grid->loss grad B={B}")
+
+    if "gridsoa" in which or "all2" in which:
+        # Forward with the SoA output FORCED to materialize (the fused
+        # consumer case) — isolates the producer-side layout cost that
+        # plain sum-fusion benches hide.
+        def body(c, key):
+            x = jax.random.uniform(key, (B, 2))
+            y = grid_ops.grid_encode(spec, table, x, soa=True)
+            y = jax.lax.optimization_barrier(y)
+            return c + jnp.sum(y.astype(jnp.float32))
+
+        slope(lambda K: scan_over(body, K, jnp.float32(0)),
+              label=f"grid fwd soa+materialize B={B}")
+
+    if "gridbwdmat" in which or "all2" in which:
+        # Backward with a REAL (data-dependent) cotangent, no transpose:
+        # cotangent = y itself (d sum(y²)/dy = 2y), still SoA layout.
+        def body(tb, key):
+            x = jax.random.uniform(key, (B, 2))
+
+            def f(tb):
+                y = grid_ops.grid_encode(spec, tb, x, soa=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            g = jax.grad(f)(tb)
+            return tb + 1e-9 * g
+
+        slope(lambda K: scan_over(body, K, table.reshape(-1)),
+              label=f"grid fwd+bwd real-cotangent soa B={B}")
+
+    if "transpose" in which or "all2" in which:
+        # Cost of one (B, 32) -> (32, B) relayout at this batch.
+        y0 = jax.random.normal(jax.random.key(8), (B, 32))
+
+        def body(c, key):
+            y = y0 * c
+            yt = jax.lax.optimization_barrier(y).T
+            yt = jax.lax.optimization_barrier(yt)
+            return c + 1e-12 * jnp.sum(yt)
+
+        slope(lambda K: scan_over(body, K, jnp.float32(1)),
+              label=f"transpose (B,32)->(32,B) B={B}")
 
     if "gridmlp" in which or "all2" in which:
         # grid -> fused MLP -> sum: the model composition without loss.

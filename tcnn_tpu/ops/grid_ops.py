@@ -304,8 +304,6 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
     run_idx = []
     for (use_hash, mask), ps in runs:
         p0, p1 = ps[0], ps[-1] + 1
-        sizes = _const_col([levels[p].size for p in ps], np.uint32)
-        offsets = _const_col([levels[p].offset for p in ps], np.uint32)
         corner_idx = []
         if use_hash:
             for c in range(C):
@@ -325,10 +323,18 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
                                   + jnp.uint32(corner_bits[c, d]))
                                  * strides[d])
                 corner_idx.append(h)
-        idx = jnp.stack(corner_idx, axis=1)          # (Lr, C, B)
-        idx = (idx % sizes[:, None, :] + offsets[:, None, :]
-               ).astype(jnp.int32)
-        run_idx.append(idx)
+        raw = jnp.stack(corner_idx, axis=1)          # (Lr, C, B)
+        # Per-level mod with SCALAR divisors: XLA strength-reduces
+        # x % const to multiply-high + shift (and to a bitwise AND for
+        # the power-of-two hash sizes); a broadcast (Lr, 1) divisor
+        # would force a generic ~20-op division sequence per element,
+        # which measurably dominates the whole index construction.
+        rows = []
+        for ri, p in enumerate(ps):
+            lv = levels[p]
+            rows.append((raw[ri] % jnp.uint32(lv.size)
+                         + jnp.uint32(lv.offset)).astype(jnp.int32))
+        run_idx.append(jnp.stack(rows, axis=0))      # (Lr, C, B) int32
     idx = jnp.concatenate(run_idx, axis=0).reshape(L, C * B)
     return idx, ws
 
