@@ -55,10 +55,12 @@ def main(which):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import tcnn_tpu as tcnn
+    from tcnn_tpu.common import HashType
     from tcnn_tpu.ops import grid_ops
 
     B = int(os.environ.get("MB_BATCH", 1 << 18))
-    spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
+    spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5,
+                                   hash_type=HashType.COHERENT_ADD)
     table = grid_ops.init_grid_params(jax.random.key(0), spec)
     model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
                                     policy=tcnn.BF16_POLICY)
@@ -202,10 +204,12 @@ def main2(which):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import tcnn_tpu as tcnn
+    from tcnn_tpu.common import HashType
     from tcnn_tpu.ops import grid_ops
 
     B = int(os.environ.get("MB_BATCH", 1 << 18))
-    spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
+    spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5,
+                                   hash_type=HashType.COHERENT_ADD)
     table = grid_ops.init_grid_params(jax.random.key(0), spec).reshape(-1)
     model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
                                     policy=tcnn.BF16_POLICY)

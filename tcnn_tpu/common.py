@@ -75,6 +75,16 @@ class HashType(enum.Enum):
     COHERENT_PRIME = "CoherentPrime"
     REVERSED_PRIME = "ReversedPrime"
     RNG = "Rng"
+    # TPU-native extension (not in the reference): like CoherentPrime
+    # (factor 1 on dim 0) but dim 0 is ADDED after the XOR of the other
+    # dims, so the two interpolation corners along dim 0 always land on
+    # ADJACENT table rows.  That adjacency lets the grid kernels fetch
+    # and scatter corner PAIRS (one memory transaction for two
+    # corners), halving the per-update work that dominates the training
+    # step on TPU.  Statistically equivalent to CoherentPrime (uniform,
+    # coherent along dim 0); convergence parity is pinned by the golden
+    # image-fit artifact.
+    COHERENT_ADD = "CoherentAdd"
 
     @classmethod
     def from_string(cls, s: str) -> "HashType":

@@ -76,6 +76,15 @@ def _hash_coords(hash_type: HashType, coords: Sequence[jax.Array]) -> jax.Array:
         from . import pcg32_hash
 
         return pcg32_hash.rng_hash(list(coords))
+    if hash_type == HashType.COHERENT_ADD:
+        # dim 0 ADDED after the XOR: hash(c0+1, rest) == hash(c0, rest)+1
+        # (mod 2^32), so corner pairs along dim 0 are table-adjacent —
+        # the property the paired grid kernels exploit.
+        factors = hash_factors(HashType.COHERENT_PRIME, len(coords))
+        h = jnp.zeros_like(coords[0])
+        for d in range(1, len(coords)):
+            h = h ^ (coords[d] * jnp.uint32(factors[d]))
+        return h + coords[0]
     factors = hash_factors(hash_type, len(coords))
     h = coords[0] * jnp.uint32(factors[0])
     for d in range(1, len(coords)):
@@ -341,7 +350,7 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
 
 def _cols_from_feats(feats: jax.Array, ws: jax.Array, fc) -> jax.Array:
     """(L·C·B, F) gathered features × (L·C, B) weights → (L·F, B) SoA."""
-    f, c = fc
+    f, c = fc[0], fc[1]
     lc, b = ws.shape
     n_lvl = lc // c
     fr = feats.reshape(n_lvl, c, b, f).astype(jnp.float32)
@@ -356,7 +365,7 @@ def _interpolate_ref(flat, idx, ws, fc):
     Per-level gathers (rows of ``idx``): level-local index ranges make
     L small takes ~30% faster than one fused take on v5e.
     """
-    f, c = fc
+    f = fc[0]
     table2d = flat.reshape(-1, f)
     feats = jnp.concatenate(
         [jnp.take(table2d, idx[l], axis=0) for l in range(idx.shape[0])],
@@ -368,15 +377,20 @@ def _interpolate_ref(flat, idx, ws, fc):
 def _grid_interpolate(flat, idx, ws, fc):
     """All levels' gather + interpolation with a hand-rolled VJP.
 
-    The custom bwd scatters ``w·dcols`` into the table with ONE fused
-    Pallas kernel over the whole table (scatter_add_weighted) — the
-    weight multiply happens inside the kernel, so no dense gradient
-    stream is ever materialized (the CUDA reference's
-    kernel_grid_backward does the same fusion in-register,
-    grid.h:214-320).
+    The custom bwd scatters ``w·dcols`` into the table with fused
+    Pallas kernels over the whole table — the weight multiply happens
+    inside the kernel, so no dense gradient stream is ever materialized
+    (the CUDA reference's kernel_grid_backward does the same fusion
+    in-register, grid.h:214-320).  Levels whose dim-0 corner rows are
+    table-adjacent (dense/tiled indexing, or HashType.CoherentAdd) go
+    through the PAIRED kernel, which commits both corners in one
+    read-modify-write — the serial scatter is scalar-issue bound, so
+    halving the update count is the dominant optimization on TPU.
 
     Args: flat (N·F,) table; idx (L, C·B) int32 rows (level offsets
-    folded in); ws (L·C, B) f32 corner weights; fc static (F, C).
+    folded in); ws (L·C, B) f32 corner weights; fc static
+    (F, C, level_meta) with level_meta a tuple of per-live-level
+    (paired, size, offset).
     Returns (L·F, B) f32 SoA feature columns, level-major.
     """
     cols, _ = _interpolate_ref(flat, idx, ws, fc)
@@ -389,22 +403,64 @@ def _grid_interpolate_vjp_fwd(flat, idx, ws, fc):
 
 
 def _grid_interpolate_vjp_bwd(fc, res, dcols):
-    from .pallas.scatter import scatter_add_weighted
+    from .pallas.scatter import (scatter_add_weighted,
+                                 scatter_add_weighted_pairs)
 
-    f, c = fc
+    f, c, lv_meta = fc
     idx, ws, feats, n_flat = res
     lc, b = ws.shape
     n_lvl = lc // c
-    dflat = scatter_add_weighted(idx.reshape(-1), ws.reshape(-1), dcols,
-                                 n_flat // f, f, c)
+    n_rows = n_flat // f
+    idx3 = idx.reshape(n_lvl, c, b)
+    ws3 = ws.reshape(n_lvl, c, b)
+    dc3 = dcols.reshape(n_lvl, f, b)
+
+    paired = [i for i, m in enumerate(lv_meta) if m[0]]
+    unpaired = [i for i, m in enumerate(lv_meta) if not m[0]]
+
+    dflat = None
+    if unpaired:
+        sel = jnp.asarray(np.array(unpaired))
+        dflat = scatter_add_weighted(
+            idx3[sel].reshape(-1), ws3[sel].reshape(-1),
+            dc3[sel].reshape(-1, b), n_rows, f, c)
+    if paired:
+        sel = jnp.asarray(np.array(paired))
+        idx_e = idx3[sel][:, 0::2, :]        # even dim-0 corners
+        w_e = ws3[sel][:, 0::2, :]
+        w_o = ws3[sel][:, 1::2, :]
+        dc_p = dc3[sel]
+        # Wrap-around pairs: even corner on the level's LAST entry →
+        # the odd corner wraps to the level's FIRST entry.  Zero the
+        # in-kernel odd weight and add the wrapped mass via a dense
+        # per-level reduction (exact; the kernel stays branch-free).
+        last = jnp.asarray(np.array(
+            [[[m[2] + m[1] - 1]] for i, m in enumerate(lv_meta)
+             if m[0]], np.int32))             # (Lp, 1, 1)
+        wrap = idx_e == last
+        w_o_in = jnp.where(wrap, 0.0, w_o)
+        part = scatter_add_weighted_pairs(
+            idx_e.reshape(-1), w_e.reshape(-1), w_o_in.reshape(-1),
+            dc_p.reshape(-1, b), n_rows, f, c // 2)
+        w_wrap = jnp.where(wrap, w_o, 0.0)    # (Lp, C/2, B)
+        corr = jnp.stack(
+            [jnp.sum(w_wrap * dc_p[:, None, k, :], axis=(1, 2))
+             for k in range(f)], axis=1)      # (Lp, F)
+        tgt = jnp.asarray(np.array(
+            [m[2] * f + k for m in (lv_meta[i] for i in paired)
+             for k in range(f)], np.int32))
+        part = part.at[tgt].add(corr.reshape(-1))
+        dflat = part if dflat is None else dflat + part
+    if dflat is None:
+        dflat = jnp.zeros((n_flat,), jnp.float32)
+
     # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k]  (only needed
     # for input gradients; XLA dead-code-eliminates this when dx is
     # unused, dropping the feats residual with it).
     fr = feats.reshape(n_lvl, c, b, f).astype(jnp.float32)
-    dcr = dcols.reshape(n_lvl, f, b)
-    dws = fr[..., 0] * dcr[:, None, 0, :]
+    dws = fr[..., 0] * dc3[:, None, 0, :]
     for k in range(1, f):
-        dws = dws + fr[..., k] * dcr[:, None, k, :]
+        dws = dws + fr[..., k] * dc3[:, None, k, :]
     return dflat, None, dws.reshape(lc, b)
 
 
@@ -461,7 +517,15 @@ def grid_encode(
     if live:
         idx, ws = _build_indices_weights(spec, x, live)
         if fast_scatter:
-            cols = _grid_interpolate(flat, idx, ws, (F, C))
+            # Per-level pairing eligibility: dense/tiled stride
+            # indexing always has dim-0-adjacent corner rows; hash
+            # levels only under the additive coherent hash.
+            lv_meta = tuple(
+                ((not lv.use_hash)
+                 or spec.hash_type == HashType.COHERENT_ADD,
+                 lv.size, lv.offset)
+                for lv in (spec.levels[li] for li in live))
+            cols = _grid_interpolate(flat, idx, ws, (F, C, lv_meta))
         else:
             cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
     else:

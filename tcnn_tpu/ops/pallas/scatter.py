@@ -520,3 +520,173 @@ def _scatter_weighted_bwd(n_rows, f, c, res, ct):
 
 
 scatter_add_weighted.defvjp(_scatter_weighted_fwd, _scatter_weighted_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pair-packed weighted scatter: ONE serial-loop iteration commits BOTH
+# interpolation corners along dim 0.
+#
+# The serial scatter is scalar-ISSUE bound (~16 instruction slots per
+# update; extra accumulators measured to change nothing), so the only
+# lever is fewer/denser updates.  When the two dim-0 corners of a
+# sample land on ADJACENT table rows — always true for dense/tiled
+# indexing (stride 1), and true for hash levels under the TPU-native
+# HashType.CoherentAdd — their 2F feature lanes are contiguous in the
+# packed (rows, 128) layout, so one (2, 128) read-modify-write covers
+# both corners: ~19 slots per PAIR instead of ~32 for two updates.
+#
+# The rare wrap-around pair (even corner on a level's last entry, odd
+# corner wrapping to its first) is handled OUTSIDE the kernel: the
+# caller zeroes the odd weight and adds the wrapped contribution via a
+# dense per-level reduction (see grid_ops._grid_interpolate_vjp_bwd).
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel(f, idx_ref, we_ref, wo_ref, *rest):
+    d_refs = rest[:f]
+    out_ref = rest[f]
+    acc_refs = rest[f + 1:]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for acc in acc_refs:
+            acc[...] = jnp.zeros_like(acc)
+
+    per_row = _LANES // f
+    # Flat position within a (2, 128) window and the d-feature pattern
+    # (g0 is a multiple of f, so position % f == global pos % f).
+    gpos = (jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 1))
+    fpat = gpos % f  # which feature each lane holds
+
+    def body(j, _):
+        for u in range(_UNROLL):
+            i = j * _UNROLL + u
+            r = idx_ref[i]
+            w_e = we_ref[i]
+            w_o = wo_ref[i]
+            row = r // per_row
+            g0 = (r % per_row) * f
+            dpat = jnp.where(fpat == 0, d_refs[0][i], 0.0)
+            for k in range(1, f):
+                dpat = jnp.where(fpat == k, d_refs[k][i], dpat)
+            wpat = jnp.where(gpos < g0 + f, w_e, w_o)
+            m = (gpos >= g0) & (gpos < g0 + 2 * f)
+            add2 = jnp.where(m, dpat * wpat, 0.0)
+            acc_refs[u % len(acc_refs)][pl.ds(row, 2), :] += add2
+        return 0
+
+    jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        rows_out = out_ref.shape[0]
+        total = acc_refs[0][0:rows_out, :]
+        for acc in acc_refs[1:]:
+            total = total + acc[0:rows_out, :]
+        out_ref[...] = total
+
+
+def _scatter_pairs_xla(idx_e, w_e, w_o, dcols, n_rows, f, cp):
+    lf, b = dcols.shape
+    n_lvl = lf // f
+    d = dcols.reshape(n_lvl, 1, f, b).transpose(0, 1, 3, 2)  # (L,1,B,F)
+    g_e = (w_e.reshape(n_lvl, cp, b, 1) * d).reshape(-1, f)
+    g_o = (w_o.reshape(n_lvl, cp, b, 1) * d).reshape(-1, f)
+    out = jnp.zeros((n_rows, f), jnp.float32)
+    out = out.at[idx_e].add(g_e.astype(jnp.float32))
+    out = out.at[jnp.minimum(idx_e + 1, n_rows - 1)].add(
+        g_o.astype(jnp.float32))
+    return out.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def scatter_add_weighted_pairs(idx_e, w_e, w_o, dcols, n_rows: int, f: int,
+                               cp: int):
+    """Deterministic paired scatter of both dim-0 corners.
+
+    idx_e: (Mp,) int32 EVEN-corner rows (odd corner is row+1; wrapped
+           pairs must arrive with w_o == 0).
+    w_e/w_o: (Mp,) f32 corner weights, level-major, even-corner-major.
+    dcols: (Lp·F, B) f32 SoA cotangent of the PAIRED levels only.
+    cp: corner pairs per level (2^(D-1)).
+    Returns the FLAT (n_rows·f,) gradient table.
+    """
+    return _scatter_pairs_impl(idx_e, w_e, w_o, dcols, n_rows, f, cp)
+
+
+def _scatter_pairs_impl(idx_e, w_e, w_o, dcols, n_rows, f, cp):
+    lf, b = dcols.shape
+    m = idx_e.shape[0]
+    rows = _packed_rows(n_rows, f)
+    n_acc = _pick_n_acc(rows)
+    tile = _weighted_tile(b, f)
+    if n_acc == 0 or _LANES % f != 0 or tile == 0:
+        return _scatter_pairs_xla(idx_e, w_e, w_o, dcols, n_rows, f, cp)
+
+    bt = b // tile
+    kernel = functools.partial(_pair_kernel, f)
+    import numpy as _np
+
+    def _dmap(k):
+        def m_(t):
+            lvl = jax.lax.div(t, _np.int32(cp * bt))
+            return ((lvl * f + k) * bt + jax.lax.rem(t, _np.int32(bt)),)
+
+        return m_
+
+    flat_d = dcols.astype(jnp.float32).reshape(-1)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec((tile,), _dmap(k), memory_space=pltpu.SMEM)
+             for k in range(f)],
+        out_specs=pl.BlockSpec((rows, _LANES), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        # +1 padded accumulator row: the (2, 128) window of a pair whose
+        # even corner sits on the last packed row reaches one past it.
+        scratch_shapes=[pltpu.VMEM((rows + 1, _LANES), jnp.float32)
+                        for _ in range(n_acc)],
+        compiler_params=_compiler_params(rows + 1, n_acc),
+        interpret=interpret_mode(),
+    )(idx_e.astype(jnp.int32), w_e.astype(jnp.float32),
+      w_o.astype(jnp.float32), *([flat_d] * f))
+    return packed.reshape(-1)[: n_rows * f]
+
+
+def _scatter_pairs_fwd(idx_e, w_e, w_o, dcols, n_rows, f, cp):
+    return (scatter_add_weighted_pairs(idx_e, w_e, w_o, dcols, n_rows, f,
+                                       cp),
+            (idx_e, w_e, w_o, dcols))
+
+
+def _scatter_pairs_bwd(n_rows, f, cp, res, ct):
+    idx_e, w_e, w_o, dcols = res
+    lf, b = dcols.shape
+    n_lvl = lf // f
+    g_e = fast_take_flat(ct, idx_e, f).astype(jnp.float32)
+    g_o = fast_take_flat(ct, jnp.minimum(idx_e + 1, n_rows - 1),
+                         f).astype(jnp.float32)
+    dcr = dcols.reshape(n_lvl, f, b).astype(jnp.float32)
+    ger = g_e.reshape(n_lvl, cp, b, f)
+    gor = g_o.reshape(n_lvl, cp, b, f)
+    dw_e = jnp.zeros((n_lvl, cp, b), jnp.float32)
+    dw_o = jnp.zeros((n_lvl, cp, b), jnp.float32)
+    for k in range(f):
+        dw_e = dw_e + ger[..., k] * dcr[:, None, k, :]
+        dw_o = dw_o + gor[..., k] * dcr[:, None, k, :]
+    wer = w_e.reshape(n_lvl, cp, b).astype(jnp.float32)
+    wor = w_o.reshape(n_lvl, cp, b).astype(jnp.float32)
+    ddc = jnp.stack(
+        [jnp.sum(wer * ger[..., k] + wor * gor[..., k], axis=1)
+         for k in range(f)], axis=1).reshape(lf, b)
+    return None, dw_e.reshape(-1), dw_o.reshape(-1), ddc
+
+
+scatter_add_weighted_pairs.defvjp(_scatter_pairs_fwd, _scatter_pairs_bwd)
