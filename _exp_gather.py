@@ -74,3 +74,16 @@ if "pair" in which:
     slope(lambda K: scan_over(pair_body, K), f"gather {MP} slices x{2*F}")
 if "two" in which:
     slope(lambda K: scan_over(pair_dslice_body, K), f"2x take {MP}")
+
+
+def taket2_body(c, key):
+    # 8.4M takes of (N/2, 4)-wide rows — the paired-fetch candidate.
+    t2 = jnp.concatenate([table2d[: (N // 2) * 2].reshape(N // 2, 2 * F),
+                          jnp.pad(flat[F:N * F], (0, F)).reshape(-1, 2 * F)],
+                         axis=0)
+    idx = jax.random.randint(key, (MP,), 0, N // 2, jnp.int32)
+    return c + jnp.sum(jnp.take(t2, idx, axis=0))
+
+
+if "taket2" in which:
+    slope(lambda K: scan_over(taket2_body, K), f"take {MP} rows x{2*F} (T2)")

@@ -373,6 +373,65 @@ def _interpolate_ref(flat, idx, ws, fc):
     return _cols_from_feats(feats, ws, fc), feats
 
 
+def _interpolate_paired(flat, idx, ws, fc):
+    """Paired gather: ONE (2F)-wide take fetches BOTH dim-0 corners.
+
+    Requires every level's dim-0 corner rows to be table-adjacent
+    (dense/tiled indexing or HashType.CoherentAdd).  The table is
+    viewed twice — row j of view A holds entries (2j, 2j+1), row j of
+    view B holds (2j+1, 2j+2) — so the pair starting at ANY row r is
+    one take at ``(r>>1) + (r&1)·H``: gather issue count halves, which
+    is the forward's entire cost (XLA takes are issue-bound and
+    width-independent).  Wrap-around pairs read the level's first entry
+    via a tiny L-row side gather (matching the paired scatter's wrap
+    correction, so forward and backward stay exact transposes).
+    """
+    f, c, lv_meta = fc
+    n_rows = flat.shape[0] // f
+    L = idx.shape[0]
+    b = ws.shape[1]
+    cp = c // 2
+    idx3 = idx.reshape(L, c, b)
+    idx_e = idx3[:, 0::2, :]                      # (L, cp, B)
+
+    h = n_rows // 2
+    a2 = flat[: h * 2 * f].reshape(h, 2 * f)
+    btail = flat[f:]
+    pad = (-btail.shape[0]) % (2 * f)
+    b2 = jnp.pad(btail, (0, pad)).reshape(-1, 2 * f)
+    t2 = jnp.concatenate([a2, b2], axis=0)
+    j = (idx_e >> 1) + (idx_e & 1) * h
+    pairs = jnp.stack([jnp.take(t2, j[l], axis=0) for l in range(L)],
+                      axis=0).astype(jnp.float32)  # (L, cp, B, 2F)
+
+    feats_e = pairs[..., :f]
+    feats_o = pairs[..., f:]
+    last = jnp.asarray(np.array([[[m[2] + m[1] - 1]] for m in lv_meta],
+                                np.int32))
+    first_rows = jnp.asarray(np.array([m[2] for m in lv_meta], np.int32))
+    e0 = jnp.take(flat.reshape(n_rows, f), first_rows,
+                  axis=0).astype(jnp.float32)      # (L, F)
+    wrap = (idx_e == last)[..., None]
+    feats_o = jnp.where(wrap, e0[:, None, None, :], feats_o)
+
+    ws3 = ws.reshape(L, c, b)
+    w_e = ws3[:, 0::2, :]
+    w_o = ws3[:, 1::2, :]
+    colk = [jnp.sum(feats_e[..., k] * w_e + feats_o[..., k] * w_o, axis=1)
+            for k in range(f)]
+    cols = jnp.stack(colk, axis=1).reshape(L * f, b)
+    # Residual feats in the canonical (L·C·B, F) corner order
+    # (c = pair·2 + dim-0 parity) for the input-gradient einsum.
+    feats = jnp.stack([feats_e, feats_o], axis=2).reshape(L * c * b, f)
+    return cols, feats
+
+
+def _interp_fwd_dispatch(flat, idx, ws, fc):
+    if len(fc) > 2 and fc[2] and all(m[0] for m in fc[2]):
+        return _interpolate_paired(flat, idx, ws, fc)
+    return _interpolate_ref(flat, idx, ws, fc)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _grid_interpolate(flat, idx, ws, fc):
     """All levels' gather + interpolation with a hand-rolled VJP.
@@ -393,12 +452,12 @@ def _grid_interpolate(flat, idx, ws, fc):
     (paired, size, offset).
     Returns (L·F, B) f32 SoA feature columns, level-major.
     """
-    cols, _ = _interpolate_ref(flat, idx, ws, fc)
+    cols, _ = _interp_fwd_dispatch(flat, idx, ws, fc)
     return cols
 
 
 def _grid_interpolate_vjp_fwd(flat, idx, ws, fc):
-    cols, feats = _interpolate_ref(flat, idx, ws, fc)
+    cols, feats = _interp_fwd_dispatch(flat, idx, ws, fc)
     return cols, (idx, ws, feats, flat.shape[0])
 
 
