@@ -133,6 +133,14 @@ def main():
         "virtual_cpu_mesh": not bool(real),
         "results": results,
     }
+    if not real:
+        out["note"] = (
+            "Virtual CPU mesh: all N 'devices' share one physical CPU, so "
+            "per-device throughput necessarily drops ~Nx and the efficiency "
+            "column does NOT measure real scaling — this run validates the "
+            "harness, shardings, and collectives.  Run with "
+            "TCNN_SCALING_REAL=1 on every host of a pod for real numbers "
+            "(BASELINE.md target: >=0.9).")
     path = os.path.join(os.path.dirname(__file__), "scaling_result.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
