@@ -146,3 +146,73 @@ class TestLayoutAndFallbacks:
         np.testing.assert_allclose(np.asarray(out2).reshape(300, 2),
                                    _np_scatter(idx, g, 300),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestWeightedKernels:
+    """Direct unit tests of the fused weighted scatter kernels against
+    the XLA fallback formulas (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("f", [1, 2, 4])
+    def test_weighted_matches_xla(self, f):
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        L_, C_, B_ = 3, 4, 1024
+        n_rows = 500
+        key = jax.random.key(f)
+        idx = jax.random.randint(key, (L_ * C_ * B_,), 0, n_rows, jnp.int32)
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (L_ * C_ * B_,))
+        dc = jax.random.normal(jax.random.fold_in(key, 2), (L_ * f, B_))
+        got = sc.scatter_add_weighted(idx, w, dc, n_rows, f, C_)
+        want = sc._scatter_weighted_xla(idx, w, dc, n_rows, f, C_)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+    @pytest.mark.parametrize("f", [1, 2, 4])
+    def test_pairs_match_xla(self, f):
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        L_, CP_, B_ = 3, 2, 1024
+        n_rows = 500
+        key = jax.random.key(10 + f)
+        # Even base rows < n_rows - 1 so idx+1 is always in range.
+        idx = jax.random.randint(key, (L_ * CP_ * B_,), 0, n_rows - 1,
+                                 jnp.int32)
+        w_e = jax.random.uniform(jax.random.fold_in(key, 1), (L_ * CP_ * B_,))
+        w_o = jax.random.uniform(jax.random.fold_in(key, 2), (L_ * CP_ * B_,))
+        dc = jax.random.normal(jax.random.fold_in(key, 3), (L_ * f, B_))
+        got = sc.scatter_add_weighted_pairs(idx, w_e, w_o, dc, n_rows, f, CP_)
+        want = sc._scatter_pairs_xla(idx, w_e, w_o, dc, n_rows, f, CP_)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_pairs_last_packed_row(self):
+        """A pair whose even corner is the table's second-to-last entry
+        exercises the padded accumulator row."""
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        f, CP_, B_ = 2, 1, 1024
+        n_rows = 512
+        idx = jnp.full((B_,), n_rows - 2, jnp.int32)
+        w_e = jnp.ones((B_,))
+        w_o = jnp.ones((B_,))
+        dc = jnp.ones((f, B_))
+        got = np.asarray(sc.scatter_add_weighted_pairs(
+            idx, w_e, w_o, dc, n_rows, f, CP_)).reshape(n_rows, f)
+        assert got[n_rows - 2, 0] == B_ and got[n_rows - 1, 1] == B_
+        assert np.abs(got[: n_rows - 2]).max() == 0
+
+    def test_weighted_second_order(self):
+        from jax.test_util import check_grads
+
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        L_, C_, B_ = 2, 4, 512
+        n_rows = 300
+        key = jax.random.key(7)
+        idx = jax.random.randint(key, (L_ * C_ * B_,), 0, n_rows, jnp.int32)
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (L_ * C_ * B_,))
+        dc = jax.random.normal(jax.random.fold_in(key, 2), (L_ * 2, B_))
+        check_grads(
+            lambda w, dc: jnp.sum(
+                sc.scatter_add_weighted(idx, w, dc, n_rows, 2, C_) ** 2),
+            (w, dc), order=2, modes=["rev"], atol=1e-2, rtol=1e-2)
