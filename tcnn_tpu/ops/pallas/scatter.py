@@ -558,7 +558,8 @@ def _pair_kernel(f, idx_ref, we_ref, wo_ref, *rest):
     # (g0 is a multiple of f, so position % f == global pos % f).
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 0) * _LANES
             + jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 1))
-    fpat = gpos % f  # which feature each lane holds
+    # Loop-invariant per-feature lane masks (hoisted by the compiler).
+    fmasks = [(gpos % f) == k for k in range(f)]
 
     def body(j, _):
         for u in range(_UNROLL):
@@ -568,12 +569,14 @@ def _pair_kernel(f, idx_ref, we_ref, wo_ref, *rest):
             w_o = wo_ref[i]
             row = r // per_row
             g0 = (r % per_row) * f
-            dpat = jnp.where(fpat == 0, d_refs[0][i], 0.0)
+            dpat = jnp.where(fmasks[0], d_refs[0][i], 0.0)
             for k in range(1, f):
-                dpat = jnp.where(fpat == k, d_refs[k][i], dpat)
-            wpat = jnp.where(gpos < g0 + f, w_e, w_o)
-            m = (gpos >= g0) & (gpos < g0 + 2 * f)
-            add2 = jnp.where(m, dpat * wpat, 0.0)
+                dpat = jnp.where(fmasks[k], d_refs[k][i], dpat)
+            # Unsigned window trick: t = gpos - g0; one compare covers
+            # the in-window test (negatives wrap to huge uint32).
+            t = (gpos - g0).astype(jnp.uint32)
+            wpat = jnp.where(t < f, w_e, w_o)
+            add2 = jnp.where(t < 2 * f, dpat * wpat, 0.0)
             acc_refs[u % len(acc_refs)][pl.ds(row, 2), :] += add2
         return 0
 
