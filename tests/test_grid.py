@@ -235,6 +235,24 @@ class TestGridGradients:
         check_grads(lambda x: grid_ops.grid_encode(spec, table, x), (x,),
                     order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
 
+    def test_f3_fast_path_grads_correct(self):
+        """F=3 does not divide the 128-lane packed layout; the fast
+        path must fall back to the XLA scatter and still produce grads
+        matching the slow path (the round-1 advisor found this case
+        silently wrong)."""
+        spec = grid_ops.make_grid_spec(2, 3, 3, 8, 4, 1.7)
+        table = jax.random.normal(key(40), (spec.n_entries, 3)) * 0.1
+        x = jax.random.uniform(key(41), (2048, 2))
+
+        def loss(fast):
+            return lambda t: jnp.sum(grid_ops.grid_encode(
+                spec, t, x, fast_scatter=fast) ** 2)
+
+        g_fast = jax.grad(loss(True))(table)
+        g_slow = jax.grad(loss(False))(table)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_backward_deterministic(self):
         """Bit-identical grads across runs — stronger than the
         reference's atomicAdd (nondet_tol=1e-3 in test_grid_bwdbwd)."""
