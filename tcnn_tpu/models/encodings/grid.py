@@ -40,10 +40,6 @@ class GridEncoding(Encoding):
         policy: Optional[Policy] = None,
     ):
         super().__init__(policy)
-        if stochastic_interpolation:
-            raise NotImplementedError(
-                "stochastic_interpolation is not supported (deterministic "
-                "gradients are a design goal of the TPU build)")
         self.spec = grid_ops.make_grid_spec(
             n_dims=n_dims_to_encode,
             n_levels=n_levels,
@@ -54,6 +50,12 @@ class GridEncoding(Encoding):
             grid_type=grid_type,
             hash_type=hash_type,
             interpolation=interpolation,
+            # Stochastic interpolation routes each (sample, level)
+            # gradient to ONE probability-selected corner
+            # (grid.h:284-299) — implemented with a fixed counter seed,
+            # so it stays deterministic across runs (unlike the
+            # reference's device RNG + atomics).
+            stochastic_interpolation=stochastic_interpolation,
         )
         self.log2_hashmap_size = log2_hashmap_size
         self.base_resolution = base_resolution

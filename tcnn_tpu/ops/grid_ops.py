@@ -123,6 +123,13 @@ class GridSpec:
     interpolation: InterpolationType
     levels: Tuple[LevelSpec, ...]
     n_entries: int   # total feature-vector entries (table rows)
+    # Stochastic interpolation (grid.h:284-299): the backward routes
+    # each (sample, level)'s FULL output gradient to ONE corner chosen
+    # with probability equal to its interpolation weight, instead of
+    # weighting.  Deterministic here: the per-(sample, level) uniforms
+    # come from a fixed counter-based seed, exactly like the
+    # reference's random_val(1337, i + level·num_elements).
+    stochastic_interpolation: bool = False
 
     @property
     def n_params(self) -> int:
@@ -143,6 +150,7 @@ def make_grid_spec(
     grid_type: GridType = GridType.HASH,
     hash_type: HashType = HashType.COHERENT_PRIME,
     interpolation: InterpolationType = InterpolationType.LINEAR,
+    stochastic_interpolation: bool = False,
 ) -> GridSpec:
     """Build the level/offset table (grid.h:686-731)."""
     if n_levels > MAX_N_GRID_LEVELS:
@@ -184,7 +192,8 @@ def make_grid_spec(
         n_dims=n_dims, n_levels=n_levels,
         n_features_per_level=n_features_per_level,
         grid_type=grid_type, hash_type=hash_type, interpolation=interpolation,
-        levels=tuple(levels), n_entries=offset)
+        levels=tuple(levels), n_entries=offset,
+        stochastic_interpolation=stochastic_interpolation)
 
 
 def _corner_offsets(n_dims: int) -> np.ndarray:
@@ -274,6 +283,9 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
       idx: (L, C·B) int32 whole-table row indices (offsets folded in),
            corner-major within a level (reference bit order, grid.h:125).
       ws:  (L·C, B) f32 corner weights, segment s = l·C + c.
+      ws_bwd: like ws but the weights the BACKWARD scatter uses —
+        identical to ws unless spec.stochastic_interpolation, where it
+        is the stochastic one-hot corner selection.
     """
     B = x.shape[0]
     D = spec.n_dims
@@ -293,13 +305,30 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
         w1s.append(_interp_weight(pos - cf, spec.interpolation))
 
     # Corner weights: Π_d (f_d if corner bit set else 1−f_d), (L, B).
-    ws = []
-    for c in range(C):
-        w = w1s[0] if corner_bits[c, 0] else 1.0 - w1s[0]
-        for d in range(1, D):
-            w = w * (w1s[d] if corner_bits[c, d] else 1.0 - w1s[d])
-        ws.append(w)
-    ws = jnp.stack(ws, axis=1).reshape(L * C, B)
+    def corner_weights(per_dim):
+        out = []
+        for c in range(C):
+            w = per_dim[0] if corner_bits[c, 0] else 1.0 - per_dim[0]
+            for d in range(1, D):
+                w = w * (per_dim[d] if corner_bits[c, d] else 1.0 - per_dim[d])
+            out.append(w)
+        return jnp.stack(out, axis=1).reshape(L * C, B)
+
+    ws = corner_weights(w1s)
+    if spec.stochastic_interpolation:
+        # Stochastic interpolation (grid.h:284-299): one fixed-seed
+        # uniform per (level, sample) picks a single corner per dim
+        # (corner+1 iff u < fract); the backward scatters the FULL
+        # gradient there.  Fixed seed == the reference's
+        # random_val(1337, ...) — deterministic across steps.
+        u_full = jax.random.uniform(jax.random.key(1337),
+                                    (spec.n_levels, B))
+        u = (u_full if L == spec.n_levels
+             else u_full[jnp.asarray(np.array(live))])
+        ws_bwd = corner_weights([(u < w1).astype(jnp.float32)
+                                 for w1 in w1s])
+    else:
+        ws_bwd = ws
 
     # Contiguous level runs sharing an indexing mode.
     runs: List[Tuple[Tuple, List[int]]] = []
@@ -345,7 +374,7 @@ def _build_indices_weights(spec: GridSpec, x: jax.Array,
                          + jnp.uint32(lv.offset)).astype(jnp.int32))
         run_idx.append(jnp.stack(rows, axis=0))      # (Lr, C, B) int32
     idx = jnp.concatenate(run_idx, axis=0).reshape(L, C * B)
-    return idx, ws
+    return idx, ws, ws_bwd
 
 
 def _cols_from_feats(feats: jax.Array, ws: jax.Array, fc) -> jax.Array:
@@ -432,8 +461,8 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
     return _interpolate_ref(flat, idx, ws, fc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _grid_interpolate(flat, idx, ws, fc):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _grid_interpolate(flat, idx, ws, ws_bwd, fc):
     """All levels' gather + interpolation with a hand-rolled VJP.
 
     The custom bwd scatters ``w·dcols`` into the table with fused
@@ -456,9 +485,9 @@ def _grid_interpolate(flat, idx, ws, fc):
     return cols
 
 
-def _grid_interpolate_vjp_fwd(flat, idx, ws, fc):
+def _grid_interpolate_vjp_fwd(flat, idx, ws, ws_bwd, fc):
     cols, feats = _interp_fwd_dispatch(flat, idx, ws, fc)
-    return cols, (idx, ws, feats, flat.shape[0])
+    return cols, (idx, ws_bwd, feats, flat.shape[0])
 
 
 def _grid_interpolate_vjp_bwd(fc, res, dcols):
@@ -466,12 +495,12 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
                                  scatter_add_weighted_pairs)
 
     f, c, lv_meta = fc
-    idx, ws, feats, n_flat = res
-    lc, b = ws.shape
+    idx, ws_scatter, feats, n_flat = res
+    lc, b = ws_scatter.shape
     n_lvl = lc // c
     n_rows = n_flat // f
     idx3 = idx.reshape(n_lvl, c, b)
-    ws3 = ws.reshape(n_lvl, c, b)
+    ws3 = ws_scatter.reshape(n_lvl, c, b)
     dc3 = dcols.reshape(n_lvl, f, b)
 
     paired = [i for i, m in enumerate(lv_meta) if m[0]]
@@ -520,7 +549,10 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     dws = fr[..., 0] * dc3[:, None, 0, :]
     for k in range(1, f):
         dws = dws + fr[..., k] * dc3[:, None, k, :]
-    return dflat, None, dws.reshape(lc, b)
+    # ws_bwd gets a zero cotangent: in the stochastic case it is an
+    # indicator (zero derivative a.e.); otherwise it aliases ws whose
+    # cotangent is dws.
+    return dflat, None, dws.reshape(lc, b), jnp.zeros((lc, b), jnp.float32)
 
 
 _grid_interpolate.defvjp(_grid_interpolate_vjp_fwd, _grid_interpolate_vjp_bwd)
@@ -574,8 +606,10 @@ def grid_encode(
     live = [li for li in range(spec.n_levels)
             if max_level is None or li < max_level]
     if live:
-        idx, ws = _build_indices_weights(spec, x, live)
-        if fast_scatter:
+        idx, ws, ws_bwd = _build_indices_weights(spec, x, live)
+        if fast_scatter or spec.stochastic_interpolation:
+            # Stochastic interpolation always needs the custom VJP (the
+            # scatter weights differ from the forward weights).
             # Per-level pairing eligibility: dense/tiled stride
             # indexing always has dim-0-adjacent corner rows; hash
             # levels only under the additive coherent hash.
@@ -584,7 +618,8 @@ def grid_encode(
                  or spec.hash_type == HashType.COHERENT_ADD,
                  lv.size, lv.offset)
                 for lv in (spec.levels[li] for li in live))
-            cols = _grid_interpolate(flat, idx, ws, (F, C, lv_meta))
+            cols = _grid_interpolate(flat, idx, ws, ws_bwd,
+                                     (F, C, lv_meta))
         else:
             cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
     else:

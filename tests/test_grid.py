@@ -253,6 +253,50 @@ class TestGridGradients:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_stochastic_interpolation(self):
+        """grid.h:284-299: stochastic backward routes each (sample,
+        level) gradient entirely to ONE corner; forward is unchanged.
+        Deterministic here (fixed counter seed)."""
+        kw = dict(n_dims=2, n_levels=2, n_features_per_level=1,
+                  log2_hashmap_size=8, base_resolution=4,
+                  per_level_scale=2.0)
+        spec_s = grid_ops.make_grid_spec(**kw, stochastic_interpolation=True)
+        spec_d = grid_ops.make_grid_spec(**kw)
+        table = jax.random.normal(key(50), (spec_s.n_entries, 1))
+        x = jax.random.uniform(key(51), (1, 2), minval=0.3, maxval=0.7)
+
+        # Forward identical to deterministic interpolation.
+        np.testing.assert_allclose(
+            np.asarray(grid_ops.grid_encode(spec_s, table, x)),
+            np.asarray(grid_ops.grid_encode(spec_d, table, x)), rtol=1e-6)
+
+        # Backward: ONE nonzero table entry per level, magnitude == the
+        # full cotangent (weight 1.0), at one of the 4 corner rows.
+        g = jax.grad(lambda t: jnp.sum(
+            grid_ops.grid_encode(spec_s, t, x)))(table)
+        g = np.asarray(g)[:, 0]
+        for lv in spec_s.levels:
+            seg = g[lv.offset:lv.offset + lv.size]
+            nz = np.nonzero(seg)[0]
+            assert len(nz) == 1, f"expected 1 corner hit, got {len(nz)}"
+            np.testing.assert_allclose(seg[nz[0]], 1.0, rtol=1e-6)
+
+        # Deterministic across runs.
+        g2 = jax.grad(lambda t: jnp.sum(
+            grid_ops.grid_encode(spec_s, t, x)))(table)
+        assert bool(jnp.all(jnp.asarray(g[:, None]) == g2))
+
+        # Statistical soundness: over many samples the stochastic
+        # gradient's expectation matches the deterministic gradient.
+        xb = jax.random.uniform(key(52), (8192, 2))
+        gs = jax.grad(lambda t: jnp.sum(
+            grid_ops.grid_encode(spec_s, t, xb)))(table)
+        gd = jax.grad(lambda t: jnp.sum(
+            grid_ops.grid_encode(spec_d, t, xb)))(table)
+        # Totals agree exactly (each sample contributes mass 1/level).
+        np.testing.assert_allclose(float(jnp.sum(gs)), float(jnp.sum(gd)),
+                                   rtol=1e-3)
+
     def test_backward_deterministic(self):
         """Bit-identical grads across runs — stronger than the
         reference's atomicAdd (nondet_tol=1e-3 in test_grid_bwdbwd)."""
