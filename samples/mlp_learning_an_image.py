@@ -21,6 +21,7 @@ except ModuleNotFoundError:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import tcnn_tpu as tcnn
@@ -64,6 +65,18 @@ def main(argv):
     coords = sampler.full_grid_coords()
     ref = np.asarray(sampler.image).reshape(-1, 3)
 
+    def predict_full(state, chunk=1 << 18):
+        """Full-image inference in fixed-size chunks: one multi-million-
+        row dispatch is both slow to move over the tunnel and heavy on
+        the compiler; 2^18-row chunks reuse the training-batch shape."""
+        n = coords.shape[0]
+        pad = (-n) % chunk
+        cpad = jnp.pad(coords, ((0, pad), (0, 0))) if pad else coords
+        outs = [np.asarray(model.trainer.inference(state,
+                                                   cpad[i:i + chunk]))
+                for i in range(0, n + pad, chunk)]
+        return np.concatenate(outs, axis=0)[:n]
+
     key = jax.random.key(1337)
     dump_at = {10, 100, 1000}
     t_start = time.perf_counter()
@@ -86,14 +99,14 @@ def main(argv):
                 interval = 100
 
         if i in dump_at:
-            pred = np.asarray(model.trainer.inference(state, coords))
+            pred = predict_full(state)
             mse = metrics.mean_MSE(pred, ref)
             print(f"  PSNR@{i}: {metrics.mse2psnr(mse):.2f} dB")
             write_image(f"{i}.jpg",
                         pred.reshape(sampler.height, sampler.width, 3))
 
     total = time.perf_counter() - t_start
-    pred = np.asarray(model.trainer.inference(state, coords))
+    pred = predict_full(state)
     mse = metrics.mean_MSE(pred, ref)
     print(f"Finished {n_steps} steps in {total:.2f}s "
           f"({n_steps * batch_size / total:.2e} samples/s), "
