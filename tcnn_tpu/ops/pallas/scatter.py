@@ -543,6 +543,15 @@ scatter_add_weighted.defvjp(_scatter_weighted_fwd, _scatter_weighted_bwd)
 
 
 def _pair_kernel(f, idx_ref, we_ref, wo_ref, *rest):
+    """Serial pair scatter into the SLOT (double-view) accumulator.
+
+    idx_ref holds SLOT indices: slot j of region A covers table entries
+    (2j, 2j+1), region B entries (2j+1, 2j+2); every adjacent pair maps
+    to exactly one slot = 2F contiguous, 2F-ALIGNED lanes, so each
+    iteration is a single aligned (1, 128) read-modify-write and no
+    pair ever straddles a packed row.  The caller merges A + shift(B)
+    back to the flat table with one dense XLA add.
+    """
     d_refs = rest[:f]
     out_ref = rest[f]
     acc_refs = rest[f + 1:]
@@ -553,41 +562,38 @@ def _pair_kernel(f, idx_ref, we_ref, wo_ref, *rest):
         for acc in acc_refs:
             acc[...] = jnp.zeros_like(acc)
 
-    per_row = _LANES // f
-    # Flat position within a (2, 128) window and the d-feature pattern
-    # (g0 is a multiple of f, so position % f == global pos % f).
-    gpos = (jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 0) * _LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 1))
-    # Loop-invariant per-feature lane masks (hoisted by the compiler).
-    fmasks = [(gpos % f) == k for k in range(f)]
+    spr = _LANES // (2 * f)  # slots per packed row
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # Loop-invariant per-feature lane masks (slot starts are 2F-aligned,
+    # so the in-slot feature index is lane % f; hoisted by the compiler).
+    fmasks = [(lanes % f) == k for k in range(f)]
 
     def body(j, _):
         for u in range(_UNROLL):
             i = j * _UNROLL + u
-            r = idx_ref[i]
+            s = idx_ref[i]
             w_e = we_ref[i]
             w_o = wo_ref[i]
-            row = r // per_row
-            g0 = (r % per_row) * f
+            row = s // spr
+            g0 = (s % spr) * (2 * f)
             dpat = jnp.where(fmasks[0], d_refs[0][i], 0.0)
             for k in range(1, f):
                 dpat = jnp.where(fmasks[k], d_refs[k][i], dpat)
-            # Unsigned window trick: t = gpos - g0; one compare covers
-            # the in-window test (negatives wrap to huge uint32).
-            t = (gpos - g0).astype(jnp.uint32)
+            # Unsigned window trick: t = lanes - g0; one compare covers
+            # the in-slot test (negatives wrap to huge uint32).
+            t = (lanes - g0).astype(jnp.uint32)
             wpat = jnp.where(t < f, w_e, w_o)
-            add2 = jnp.where(t < 2 * f, dpat * wpat, 0.0)
-            acc_refs[u % len(acc_refs)][pl.ds(row, 2), :] += add2
+            add = jnp.where(t < 2 * f, dpat * wpat, 0.0)
+            acc_refs[u % len(acc_refs)][pl.ds(row, 1), :] += add
         return 0
 
     jax.lax.fori_loop(0, idx_ref.shape[0] // _UNROLL, body, 0)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
-        rows_out = out_ref.shape[0]
-        total = acc_refs[0][0:rows_out, :]
+        total = acc_refs[0][...]
         for acc in acc_refs[1:]:
-            total = total + acc[0:rows_out, :]
+            total = total + acc[...]
         out_ref[...] = total
 
 
@@ -622,11 +628,18 @@ def scatter_add_weighted_pairs(idx_e, w_e, w_o, dcols, n_rows: int, f: int,
 def _scatter_pairs_impl(idx_e, w_e, w_o, dcols, n_rows, f, cp):
     lf, b = dcols.shape
     m = idx_e.shape[0]
-    rows = _packed_rows(n_rows, f)
-    n_acc = _pick_n_acc(rows)
+    # Slot accumulator is DOUBLE the table (regions A and B).
+    h_a = n_rows // 2
+    rows2 = _packed_rows(2 * h_a * 2, f)  # = ceil(n_rows*2F/128)
+    n_acc = _pick_n_acc(rows2)
     tile = _weighted_tile(b, f)
-    if n_acc == 0 or _LANES % f != 0 or tile == 0:
+    if (n_acc == 0 or _LANES % (2 * f) != 0 or tile == 0
+            or n_rows % 2 != 0):
         return _scatter_pairs_xla(idx_e, w_e, w_o, dcols, n_rows, f, cp)
+
+    # Slot index: even rows land in region A (slot r/2 holds entries
+    # (r, r+1)), odd rows in region B (slot H+(r-1)/2 holds (r, r+1)).
+    slot = (idx_e >> 1) + (idx_e & 1) * jnp.int32(h_a)
 
     bt = b // tile
     kernel = functools.partial(_pair_kernel, f)
@@ -649,18 +662,24 @@ def _scatter_pairs_impl(idx_e, w_e, w_o, dcols, n_rows, f, cp):
             pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec((tile,), _dmap(k), memory_space=pltpu.SMEM)
              for k in range(f)],
-        out_specs=pl.BlockSpec((rows, _LANES), lambda t: (0, 0),
+        out_specs=pl.BlockSpec((rows2, _LANES), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-        # +1 padded accumulator row: the (2, 128) window of a pair whose
-        # even corner sits on the last packed row reaches one past it.
-        scratch_shapes=[pltpu.VMEM((rows + 1, _LANES), jnp.float32)
+        out_shape=jax.ShapeDtypeStruct((rows2, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows2, _LANES), jnp.float32)
                         for _ in range(n_acc)],
-        compiler_params=_compiler_params(rows + 1, n_acc),
+        compiler_params=_compiler_params(rows2, n_acc),
         interpret=interpret_mode(),
-    )(idx_e.astype(jnp.int32), w_e.astype(jnp.float32),
+    )(slot.astype(jnp.int32), w_e.astype(jnp.float32),
       w_o.astype(jnp.float32), *([flat_d] * f))
-    return packed.reshape(-1)[: n_rows * f]
+    # Merge the double-view regions back to the flat table: region A is
+    # already flat-ordered; region B is the same entries shifted one
+    # table row (F lanes).  The truncated tail of B holds only
+    # wrap-zeroed odd halves, so dropping it is exact.
+    arr = packed.reshape(-1)
+    n_flat = n_rows * f
+    a_flat = arr[:n_flat]
+    b_flat = arr[h_a * 2 * f: h_a * 2 * f + n_flat]
+    return a_flat + jnp.pad(b_flat[: n_flat - f], (f, 0))
 
 
 def _scatter_pairs_fwd(idx_e, w_e, w_o, dcols, n_rows, f, cp):
