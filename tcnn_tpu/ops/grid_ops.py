@@ -506,18 +506,26 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     paired = [i for i, m in enumerate(lv_meta) if m[0]]
     unpaired = [i for i, m in enumerate(lv_meta) if not m[0]]
 
+    def sel_rows(arr, levels):
+        """Level-row selection — a free slice for the (universal in
+        practice) contiguous case, gather otherwise."""
+        if levels == list(range(levels[0], levels[-1] + 1)):
+            return arr[levels[0]:levels[-1] + 1]
+        return arr[jnp.asarray(np.array(levels))]
+
     dflat = None
     if unpaired:
-        sel = jnp.asarray(np.array(unpaired))
         dflat = scatter_add_weighted(
-            idx3[sel].reshape(-1), ws3[sel].reshape(-1),
-            dc3[sel].reshape(-1, b), n_rows, f, c)
+            sel_rows(idx3, unpaired).reshape(-1),
+            sel_rows(ws3, unpaired).reshape(-1),
+            sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
     if paired:
-        sel = jnp.asarray(np.array(paired))
-        idx_e = idx3[sel][:, 0::2, :]        # even dim-0 corners
-        w_e = ws3[sel][:, 0::2, :]
-        w_o = ws3[sel][:, 1::2, :]
-        dc_p = dc3[sel]
+        idx_p = sel_rows(idx3, paired)
+        ws_p = sel_rows(ws3, paired)
+        idx_e = idx_p[:, 0::2, :]            # even dim-0 corners
+        w_e = ws_p[:, 0::2, :]
+        w_o = ws_p[:, 1::2, :]
+        dc_p = sel_rows(dc3, paired)
         # Wrap-around pairs: even corner on the level's LAST entry →
         # the odd corner wraps to the level's FIRST entry.  Zero the
         # in-kernel odd weight and add the wrapped mass via a dense
