@@ -456,7 +456,13 @@ def _interpolate_paired(flat, idx, ws, fc):
 
 
 def _interp_fwd_dispatch(flat, idx, ws, fc):
-    if len(fc) > 2 and fc[2] and all(m[0] for m in fc[2]):
+    # The double-view pair table is only valid for an EVEN total row
+    # count (odd totals — possible with TILED grids whose level sizes
+    # aren't 8-multiples — would map the last even corner into region B
+    # row 0).  Mirrors the paired scatter's n_rows % 2 guard.
+    n_rows = flat.shape[0] // fc[0]
+    if (len(fc) > 2 and fc[2] and all(m[0] for m in fc[2])
+            and n_rows % 2 == 0):
         return _interpolate_paired(flat, idx, ws, fc)
     return _interpolate_ref(flat, idx, ws, fc)
 

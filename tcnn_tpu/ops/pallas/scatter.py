@@ -405,10 +405,15 @@ def _weighted_kernel(f, idx_ref, w_ref, *rest):
 def _weighted_tile(b: int, f: int) -> int:
     """Largest SMEM tile that divides the per-segment batch b (the
     dcols stream maps need tiles that never straddle a level/corner
-    segment boundary).  0 = no usable tile → caller falls back."""
+    segment boundary).  0 = no usable tile → caller falls back.
+
+    Floor is 1024: Mosaic requires 1-D int32 SMEM blocks to be
+    T(1024)-aligned on real TPU — 256/512 tiles fail to compile with an
+    XLA/Mosaic layout mismatch (tiles are powers of two, so >=1024 also
+    guarantees the alignment)."""
     p2 = b & (-b)  # largest power-of-two divisor
     tile = min(_tile_for(f), p2)
-    return tile if tile >= 256 else 0
+    return tile if tile >= 1024 else 0
 
 
 def _scatter_weighted_xla(idx, w, dcols, n_rows, f, c):

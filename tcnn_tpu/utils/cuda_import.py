@@ -167,10 +167,49 @@ def import_params(model, snapshot) -> Any:
         raise ValueError(
             f"n_params={data['n_params']} but binary holds {flat.size}")
     params = _split_buffer(model, flat)
+    _warn_nonreference_hash(model)
     import jax
 
     return jax.tree_util.tree_map(
         lambda a: jnp.asarray(np.ascontiguousarray(a), jnp.float32), params)
+
+
+def _warn_nonreference_hash(model) -> None:
+    """Warn when importing reference params into a grid whose hash type
+    the reference does not implement (e.g. the TPU-native CoherentAdd):
+    the table blobs are copied verbatim but lookups hash differently,
+    so the imported model computes a different function.  Reference
+    snapshots should be loaded into hash=CoherentPrime/Prime configs
+    (the reference's own hash set, common_device.h:648-707)."""
+    import warnings
+
+    from ..common import HashType
+
+    def grids(mod):
+        if mod is None:
+            return
+        spec = getattr(mod, "spec", None)
+        if spec is not None and hasattr(spec, "hash_type"):
+            yield spec
+        for child in (getattr(mod, "nested", None) or []):
+            yield from grids(child)
+        for attr in ("encoding", "network"):
+            sub = getattr(mod, attr, None)
+            if sub is not None and sub is not mod:
+                yield from grids(sub)
+
+    ref_hashes = {HashType.PRIME, HashType.COHERENT_PRIME,
+                  HashType.REVERSED_PRIME, HashType.RNG}
+    for spec in grids(model):
+        if any(lv.use_hash for lv in spec.levels) and \
+                spec.hash_type not in ref_hashes:
+            warnings.warn(
+                f"importing a reference CUDA snapshot into a grid with "
+                f"hash={spec.hash_type.value!r}, which the reference "
+                f"does not implement: hash-level lookups will differ "
+                f"from the snapshot's producer. Use a CoherentPrime/"
+                f"Prime config for reference snapshots.",
+                stacklevel=3)
 
 
 def import_trainer_state(trainer, snapshot, state=None):

@@ -326,3 +326,43 @@ class TestGridGradients:
         assert dx.shape == x.shape
         assert jax.tree_util.tree_structure(
             dparams) == jax.tree_util.tree_structure(params)
+
+
+class TestOddRowCountPairedForward:
+    """Round-2 advisor (high): the paired double-view forward is only
+    valid for an even TOTAL table row count.  TILED grids with
+    base_resolution=3 produce a 9-row level (sizes below 8 are not
+    rounded), so the fast path must fall back — forward AND backward —
+    to the reference math."""
+
+    def _spec(self):
+        return grid_ops.make_grid_spec(
+            2, 3, 2, 10, 3, 2.0, grid_type=GridType.TILED,
+            hash_type=HashType.COHERENT_ADD)
+
+    def test_total_rows_odd(self):
+        spec = self._spec()
+        assert spec.n_entries % 2 == 1  # the regression precondition
+
+    def test_forward_matches_reference_path(self):
+        spec = self._spec()
+        table = jax.random.normal(key(70), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(71), (512, 2))
+        y_fast = grid_ops.grid_encode(spec, table, x, fast_scatter=True)
+        y_ref = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_table_grads_match(self):
+        spec = self._spec()
+        table = jax.random.normal(key(72), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(73), (512, 2))
+
+        def loss(fast):
+            return lambda t: jnp.sum(grid_ops.grid_encode(
+                spec, t, x, fast_scatter=fast) ** 2)
+
+        g_fast = jax.grad(loss(True))(table)
+        g_slow = jax.grad(loss(False))(table)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                                   rtol=1e-4, atol=1e-5)

@@ -206,7 +206,9 @@ class TestWeightedKernels:
 
         from tcnn_tpu.ops.pallas import scatter as sc
 
-        L_, C_, B_ = 2, 4, 512
+        # B >= 1024 keeps the Pallas kernel engaged (smaller batches
+        # fall back to XLA since the Mosaic T(1024) SMEM-alignment fix).
+        L_, C_, B_ = 2, 4, 1024
         n_rows = 300
         key = jax.random.key(7)
         idx = jax.random.randint(key, (L_ * C_ * B_,), 0, n_rows, jnp.int32)
@@ -216,3 +218,23 @@ class TestWeightedKernels:
             lambda w, dc: jnp.sum(
                 sc.scatter_add_weighted(idx, w, dc, n_rows, 2, C_) ** 2),
             (w, dc), order=2, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+    def test_small_batch_falls_back_to_xla(self):
+        """Batches whose largest power-of-two divisor is < 1024 cannot
+        use the SMEM-streamed kernels on real TPU (Mosaic T(1024)
+        layout rule); they must fall back to XLA and stay correct."""
+        from tcnn_tpu.ops.pallas import scatter as sc
+
+        assert sc._weighted_tile(512, 2) == 0
+        assert sc._weighted_tile(256, 2) == 0
+        assert sc._weighted_tile(1024, 2) >= 1024
+        L_, C_, B_ = 2, 4, 512
+        n_rows = 128
+        key = jax.random.key(9)
+        idx = jax.random.randint(key, (L_ * C_ * B_,), 0, n_rows, jnp.int32)
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (L_ * C_ * B_,))
+        dc = jax.random.normal(jax.random.fold_in(key, 2), (L_ * 2, B_))
+        got = sc.scatter_add_weighted(idx, w, dc, n_rows, 2, C_)
+        want = sc._scatter_weighted_xla(idx, w, dc, n_rows, 2, C_)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
