@@ -455,31 +455,142 @@ def _interpolate_paired(flat, idx, ws, fc):
     return cols, feats
 
 
+# ---------------------------------------------------------------------------
+# Per-level routing between the three fast implementations:
+#   * "mm"     — MXU one-hot matmul kernels (ops/pallas/grid_matmul):
+#                fully vectorized, hash-type agnostic; per-update cost
+#                grows with the level's table size, so only levels up
+#                to a MAC budget qualify.
+#   * "paired" — serial Pallas pair kernels (ops/pallas/scatter): cost
+#                is per-UPDATE (scalar-issue bound), independent of
+#                table size; needs dim-0-adjacent corner rows
+#                (dense/tiled strides or HashType.CoherentAdd).
+#   * "single" — serial unpaired / XLA fallback.
+# Forward and backward route independently (any path is an exact
+# transpose of any other).  Budgets are in value-operand MACs per
+# update (size·F·n_passes); defaults come from the measured serial
+# costs (~4.75 ns/update paired, ~9.5 unpaired) vs the MXU rate.
+# ---------------------------------------------------------------------------
+
+
+def _mm_budgets():
+    import os
+
+    if os.environ.get("TCNN_TPU_DISABLE_MM"):
+        return -1, -1
+    return (int(os.environ.get("TCNN_TPU_MM_BUDGET_PAIRED", 400_000)),
+            int(os.environ.get("TCNN_TPU_MM_BUDGET_UNPAIRED", 1_000_000)))
+
+
+def _route_levels(fc, flat_dtype, b):
+    """-> (mm_levels, serial_levels) position lists into lv_meta."""
+    from .pallas.grid_matmul import _value_passes, batch_tile
+
+    f, _, lv_meta = fc[0], fc[1], fc[2]
+    bud_p, bud_u = _mm_budgets()
+    n_passes = _value_passes(flat_dtype)
+    mm, serial = [], []
+    usable = batch_tile(b) != 0
+    for i, (p, size, off) in enumerate(lv_meta):
+        budget = bud_p if p else bud_u
+        if usable and size * f * n_passes <= budget:
+            mm.append(i)
+        else:
+            serial.append(i)
+    return mm, serial
+
+
+def _mm_classes(lv_meta, positions):
+    """Group mm levels into size classes sharing one padded row count
+    (a uniform pad inside a class keeps one kernel instance; splitting
+    small from large avoids wasting MACs on tiny dense levels)."""
+    small = [i for i in positions if lv_meta[i][1] <= 4096]
+    large = [i for i in positions if lv_meta[i][1] > 4096]
+    out = []
+    for group in (small, large):
+        if group:
+            r_pad = -(-max(lv_meta[i][1] for i in group) // 1024) * 1024
+            out.append((group, r_pad))
+    return out
+
+
+def _sel_rows(arr, levels):
+    """Level-row selection — a free slice for the (universal in
+    practice) contiguous case, gather otherwise."""
+    if list(levels) == list(range(levels[0], levels[-1] + 1)):
+        return arr[levels[0]:levels[-1] + 1]
+    return arr[jnp.asarray(np.array(levels))]
+
+
+def _localize_idx(idx3_rows, lv_meta, levels):
+    """Global (Lg, C, B) rows -> level-local (Lg·C, B)."""
+    offs = _const_col([lv_meta[i][2] for i in levels], np.int32)
+    return (idx3_rows - offs[:, :, None]).reshape(-1, idx3_rows.shape[-1])
+
+
 def _interp_fwd_dispatch(flat, idx, ws, fc):
-    # The double-view pair table is only valid for an EVEN total row
-    # count (odd totals — possible with TILED grids whose level sizes
-    # aren't 8-multiples — would map the last even corner into region B
-    # row 0).  Mirrors the paired scatter's n_rows % 2 guard.
-    n_rows = flat.shape[0] // fc[0]
-    if (len(fc) > 2 and fc[2] and all(m[0] for m in fc[2])
-            and n_rows % 2 == 0):
-        return _interpolate_paired(flat, idx, ws, fc)
-    return _interpolate_ref(flat, idx, ws, fc)
+    """Forward: route each level to the matmul gather or the take-based
+    paths.  Returns the (L·F, B) f32 interpolated columns."""
+    if len(fc) < 3 or not fc[2]:
+        return _interpolate_ref(flat, idx, ws, fc)[0]
+    f, c, lv_meta = fc
+    lc, b = ws.shape
+    mm, serial = _route_levels(fc, flat.dtype, b)
+    if not mm:
+        return _take_fwd_group(flat, idx, ws, fc,
+                               list(range(len(lv_meta))))[0]
+
+    from .pallas import grid_matmul as gm
+
+    n_lvl = lc // c
+    idx3 = idx.reshape(n_lvl, c, b)
+    ws3 = ws.reshape(n_lvl, c, b)
+    pieces = {}
+    for levels, r_pad in _mm_classes(lv_meta, mm):
+        idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
+        w_g = _sel_rows(ws3, levels).reshape(-1, b)
+        cols_g = gm.mm_gather(
+            flat, idx_local, w_g,
+            tuple(lv_meta[i][1] for i in levels),
+            tuple(lv_meta[i][2] for i in levels), f, c, r_pad)
+        for gi, i in enumerate(levels):
+            pieces[i] = cols_g[gi * f:(gi + 1) * f]
+    if serial:
+        cols_s = _take_fwd_group(flat, idx, ws, fc, serial)[0]
+        for gi, i in enumerate(serial):
+            pieces[i] = cols_s[gi * f:(gi + 1) * f]
+    return jnp.concatenate([pieces[i] for i in range(len(lv_meta))], axis=0)
+
+
+def _take_fwd_group(flat, idx, ws, fc, levels):
+    """Take-based forward for a subset of levels (paired when legal)."""
+    f, c, lv_meta = fc[0], fc[1], (fc[2] if len(fc) > 2 else None)
+    lc, b = ws.shape
+    n_lvl = lc // c
+    if n_lvl != len(levels):
+        idx = _sel_rows(idx.reshape(n_lvl, c, b), levels).reshape(len(levels), c * b)
+        ws = _sel_rows(ws.reshape(n_lvl, c, b), levels).reshape(-1, b)
+    sub_meta = tuple(lv_meta[i] for i in levels) if lv_meta else None
+    sub_fc = (f, c, sub_meta) if sub_meta is not None else (f, c)
+    n_rows = flat.shape[0] // f
+    if (sub_meta and all(m[0] for m in sub_meta) and n_rows % 2 == 0):
+        return _interpolate_paired(flat, idx, ws, sub_fc)
+    return _interpolate_ref(flat, idx, ws, sub_fc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _grid_interpolate(flat, idx, ws, ws_bwd, fc):
     """All levels' gather + interpolation with a hand-rolled VJP.
 
-    The custom bwd scatters ``w·dcols`` into the table with fused
-    Pallas kernels over the whole table — the weight multiply happens
-    inside the kernel, so no dense gradient stream is ever materialized
-    (the CUDA reference's kernel_grid_backward does the same fusion
-    in-register, grid.h:214-320).  Levels whose dim-0 corner rows are
-    table-adjacent (dense/tiled indexing, or HashType.CoherentAdd) go
-    through the PAIRED kernel, which commits both corners in one
-    read-modify-write — the serial scatter is scalar-issue bound, so
-    halving the update count is the dominant optimization on TPU.
+    Forward and backward each route EVERY level to one of three
+    implementations (see _route_levels): the MXU one-hot matmul kernels
+    (fully vectorized — the default for levels whose tables fit the MAC
+    budget, any hash type), the serial Pallas pair kernels (scalar
+    issue-bound but size-independent — large CoherentAdd/dense levels),
+    or the serial/XLA fallback.  The weight multiply happens inside the
+    kernels, so no dense gradient stream is ever materialized (the CUDA
+    reference's kernel_grid_backward does the same fusion in-register,
+    grid.h:214-320).
 
     Args: flat (N·F,) table; idx (L, C·B) int32 rows (level offsets
     folded in); ws (L·C, B) f32 corner weights; fc static
@@ -487,21 +598,24 @@ def _grid_interpolate(flat, idx, ws, ws_bwd, fc):
     (paired, size, offset).
     Returns (L·F, B) f32 SoA feature columns, level-major.
     """
-    cols, _ = _interp_fwd_dispatch(flat, idx, ws, fc)
-    return cols
+    return _interp_fwd_dispatch(flat, idx, ws, fc)
 
 
 def _grid_interpolate_vjp_fwd(flat, idx, ws, ws_bwd, fc):
-    cols, feats = _interp_fwd_dispatch(flat, idx, ws, fc)
-    return cols, (idx, ws_bwd, feats, flat.shape[0])
+    # Residuals carry the (tiny) table instead of the (batch-sized)
+    # gathered features: d/dws re-gathers lazily in the bwd, and XLA
+    # dead-code-eliminates that when input gradients are unused.
+    return _interp_fwd_dispatch(flat, idx, ws, fc), (idx, ws_bwd, flat)
 
 
 def _grid_interpolate_vjp_bwd(fc, res, dcols):
+    from .pallas import grid_matmul as gm
     from .pallas.scatter import (scatter_add_weighted,
                                  scatter_add_weighted_pairs)
 
     f, c, lv_meta = fc
-    idx, ws_scatter, feats, n_flat = res
+    idx, ws_scatter, flat = res
+    n_flat = flat.shape[0]
     lc, b = ws_scatter.shape
     n_lvl = lc // c
     n_rows = n_flat // f
@@ -509,36 +623,41 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     ws3 = ws_scatter.reshape(n_lvl, c, b)
     dc3 = dcols.reshape(n_lvl, f, b)
 
-    paired = [i for i, m in enumerate(lv_meta) if m[0]]
-    unpaired = [i for i, m in enumerate(lv_meta) if not m[0]]
-
-    def sel_rows(arr, levels):
-        """Level-row selection — a free slice for the (universal in
-        practice) contiguous case, gather otherwise."""
-        if levels == list(range(levels[0], levels[-1] + 1)):
-            return arr[levels[0]:levels[-1] + 1]
-        return arr[jnp.asarray(np.array(levels))]
+    mm, serial = _route_levels(fc, flat.dtype, b)
+    paired = [i for i in serial if lv_meta[i][0]]
+    unpaired = [i for i in serial if not lv_meta[i][0]]
 
     dflat = None
+    for levels, r_pad in _mm_classes(lv_meta, mm):
+        idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
+        w_g = _sel_rows(ws3, levels).reshape(-1, b)
+        dc_g = _sel_rows(dc3, levels).reshape(-1, b)
+        part = gm.mm_scatter(
+            idx_local, w_g, dc_g,
+            tuple(lv_meta[i][1] for i in levels),
+            tuple(lv_meta[i][2] for i in levels), f, c, r_pad,
+            n_flat, str(flat.dtype))
+        dflat = part if dflat is None else dflat + part
     if unpaired:
-        dflat = scatter_add_weighted(
-            sel_rows(idx3, unpaired).reshape(-1),
-            sel_rows(ws3, unpaired).reshape(-1),
-            sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
+        part = scatter_add_weighted(
+            _sel_rows(idx3, unpaired).reshape(-1),
+            _sel_rows(ws3, unpaired).reshape(-1),
+            _sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
+        dflat = part if dflat is None else dflat + part
     if paired:
-        idx_p = sel_rows(idx3, paired)
-        ws_p = sel_rows(ws3, paired)
+        idx_p = _sel_rows(idx3, paired)
+        ws_p = _sel_rows(ws3, paired)
         idx_e = idx_p[:, 0::2, :]            # even dim-0 corners
         w_e = ws_p[:, 0::2, :]
         w_o = ws_p[:, 1::2, :]
-        dc_p = sel_rows(dc3, paired)
+        dc_p = _sel_rows(dc3, paired)
         # Wrap-around pairs: even corner on the level's LAST entry →
         # the odd corner wraps to the level's FIRST entry.  Zero the
         # in-kernel odd weight and add the wrapped mass via a dense
         # per-level reduction (exact; the kernel stays branch-free).
         last = jnp.asarray(np.array(
-            [[[m[2] + m[1] - 1]] for i, m in enumerate(lv_meta)
-             if m[0]], np.int32))             # (Lp, 1, 1)
+            [[[lv_meta[i][2] + lv_meta[i][1] - 1]] for i in paired],
+            np.int32))                        # (Lp, 1, 1)
         wrap = idx_e == last
         w_o_in = jnp.where(wrap, 0.0, w_o)
         part = scatter_add_weighted_pairs(
@@ -549,17 +668,19 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
             [jnp.sum(w_wrap * dc_p[:, None, k, :], axis=(1, 2))
              for k in range(f)], axis=1)      # (Lp, F)
         tgt = jnp.asarray(np.array(
-            [m[2] * f + k for m in (lv_meta[i] for i in paired)
+            [lv_meta[i][2] * f + k for i in paired
              for k in range(f)], np.int32))
         part = part.at[tgt].add(corr.reshape(-1))
         dflat = part if dflat is None else dflat + part
     if dflat is None:
         dflat = jnp.zeros((n_flat,), jnp.float32)
 
-    # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k]  (only needed
-    # for input gradients; XLA dead-code-eliminates this when dx is
-    # unused, dropping the feats residual with it).
-    fr = feats.reshape(n_lvl, c, b, f).astype(jnp.float32)
+    # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k] — feats
+    # re-gathered lazily from the table (only needed for input
+    # gradients; XLA dead-code-eliminates the takes when dx is unused).
+    table2d = flat.reshape(n_rows, f).astype(jnp.float32)
+    fr = jnp.stack([jnp.take(table2d, idx3[l], axis=0)
+                    for l in range(n_lvl)], axis=0)   # (L, C, B, F)
     dws = fr[..., 0] * dc3[:, None, 0, :]
     for k in range(1, f):
         dws = dws + fr[..., k] * dc3[:, None, k, :]

@@ -1,0 +1,216 @@
+"""Tests for the MXU one-hot matmul grid kernels (ops/pallas/grid_matmul)
+and their routing inside grid_ops.
+
+The matmul path is the default fast path for levels whose tables fit
+the MAC budget — any hash type, any F.  Ground truth is the jnp path
+(fast_scatter=False).  f32 tables go through the two-term bf16 split
+(~2^-17 relative), so tolerances here are ~1e-4.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+from tcnn_tpu.common import GridType, HashType, InterpolationType
+from tcnn_tpu.ops import grid_ops
+from tcnn_tpu.ops.pallas import grid_matmul as gm
+
+
+def key(i=0):
+    return jax.random.key(i)
+
+
+def _mk(hash_type=HashType.COHERENT_PRIME, n_levels=4, f=2, hashmap=7,
+        base=4, scale=1.8, **kw):
+    return grid_ops.make_grid_spec(2, n_levels, f, hashmap, base, scale,
+                                   hash_type=hash_type, **kw)
+
+
+RTOL = 2e-4
+
+
+class TestMatmulPathParity:
+    @pytest.mark.parametrize("hash_type", [
+        HashType.COHERENT_PRIME, HashType.PRIME, HashType.REVERSED_PRIME,
+        HashType.COHERENT_ADD, HashType.RNG])
+    def test_forward_and_grads_all_hash_types(self, hash_type):
+        """The matmul kernels are hash-type agnostic — the reference's
+        own hash set (common_device.h:648-707) runs the fast path too,
+        unlike the pairing-based kernels."""
+        spec = _mk(hash_type)
+        assert any(lv.use_hash for lv in spec.levels)
+        table = jax.random.normal(key(1), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(2), (1024, 2))
+
+        def run(fast):
+            def loss(t):
+                y = grid_ops.grid_encode(spec, t, x, fast_scatter=fast)
+                return jnp.sum(y ** 2), y
+            (l, y), g = jax.value_and_grad(loss, has_aux=True)(table)
+            return y, g
+
+        y_f, g_f = run(True)
+        y_s, g_s = run(False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                   rtol=RTOL, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_f3_routes_through_matmul(self):
+        """F=3 divides neither 128 nor the packed-pair layout; the
+        matmul kernels handle ANY F natively."""
+        spec = _mk(n_levels=3, f=3)
+        mm, serial = grid_ops._route_levels(
+            (3, 4, tuple((True, lv.size, lv.offset) for lv in spec.levels)),
+            jnp.float32, 1024)
+        assert mm == [0, 1, 2] and serial == []
+
+    def test_mixed_routing_big_levels_serial(self, monkeypatch):
+        """Levels above the MAC budget go to the serial kernels; the
+        combined result must still match the jnp path."""
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_PAIRED", "600")
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_UNPAIRED", "600")
+        spec = _mk(HashType.COHERENT_ADD, n_levels=5, hashmap=9)
+        meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
+        mm, serial = grid_ops._route_levels((2, 4, meta), jnp.float32, 1024)
+        assert mm and serial, (mm, serial)  # genuinely mixed
+        table = jax.random.normal(key(3), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(4), (1024, 2))
+        g_f = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2))(table)
+        g_s = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_second_order_through_matmul(self):
+        spec = _mk(n_levels=2, hashmap=6,
+                   interpolation=InterpolationType.SMOOTHSTEP)
+        table = jax.random.normal(key(5), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(6), (512, 2), minval=0.1, maxval=0.9)
+        check_grads(
+            lambda t: grid_ops.grid_encode(spec, t, x, fast_scatter=True),
+            (table,), order=2, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+    def test_input_grads_through_matmul(self):
+        spec = _mk(n_levels=2, hashmap=6,
+                   interpolation=InterpolationType.SMOOTHSTEP)
+        table = jax.random.normal(key(7), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(8), (512, 2), minval=0.3, maxval=0.45)
+        gx_f = jax.grad(lambda x: jnp.sum(grid_ops.grid_encode(
+            spec, table, x, fast_scatter=True) ** 2))(x)
+        gx_s = jax.grad(lambda x: jnp.sum(grid_ops.grid_encode(
+            spec, table, x, fast_scatter=False) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_deterministic(self):
+        spec = _mk()
+        table = jax.random.normal(key(9), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(10), (2048, 2))
+        f = jax.jit(jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2)))
+        g1, g2 = f(table), f(table)
+        assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+    def test_bf16_table_single_pass(self):
+        """bf16 tables use the single-pass kernel (reference fp16
+        compute-param parity, trainer.h:68-87); tolerance is bf16's."""
+        spec = _mk(n_levels=3)
+        table = (jax.random.normal(key(11), (spec.n_entries, 2)) * 0.1
+                 ).astype(jnp.bfloat16)
+        x = jax.random.uniform(key(12), (1024, 2))
+        y_f = grid_ops.grid_encode(spec, table, x, fast_scatter=True)
+        y_s = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        np.testing.assert_allclose(
+            np.asarray(y_f, np.float32), np.asarray(y_s, np.float32),
+            rtol=2e-2, atol=1e-3)
+
+
+class TestKernelUnits:
+    def test_scatter_levels_matmul_naive(self):
+        rng = np.random.RandomState(0)
+        Lg, C, F, B, r_pad = 2, 4, 2, 512, 256
+        sizes = [200, 256]
+        idxl = jnp.asarray(np.concatenate(
+            [rng.randint(0, s, (C, B)) for s in sizes]).astype(np.int32))
+        w = jnp.asarray(rng.rand(Lg * C, B).astype(np.float32))
+        dc = jnp.asarray(rng.randn(Lg * F, B).astype(np.float32))
+        out = np.asarray(gm.scatter_levels_matmul(idxl, w, dc, r_pad, F, C))
+        want = np.zeros((Lg, r_pad, F), np.float32)
+        idxn, wn, dcn = map(np.asarray, (idxl, w, dc))
+        for l in range(Lg):
+            for c in range(C):
+                for b in range(B):
+                    want[l, idxn[l * C + c, b]] += (
+                        wn[l * C + c, b] * dcn[l * F:(l + 1) * F, b])
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    def test_gather_matches_take(self):
+        rng = np.random.RandomState(1)
+        Lg, C, F, B, r_pad = 2, 4, 2, 512, 256
+        sizes, offsets = (200, 130), (0, 200)
+        n_rows = 330
+        flat = jnp.asarray(rng.randn(n_rows * F).astype(np.float32))
+        idxl = jnp.asarray(np.concatenate(
+            [rng.randint(0, s, (C, B)) for s in sizes]).astype(np.int32))
+        w = jnp.asarray(rng.rand(Lg * C, B).astype(np.float32))
+        cols = np.asarray(gm.mm_gather(flat, idxl, w, sizes, offsets,
+                                       F, C, r_pad))
+        flat2 = np.asarray(flat).reshape(n_rows, F)
+        want = np.zeros((Lg * F, B), np.float32)
+        idxn, wn = np.asarray(idxl), np.asarray(w)
+        for l in range(Lg):
+            for c in range(C):
+                feats = flat2[idxn[l * C + c] + offsets[l]]
+                for k in range(F):
+                    want[l * F + k] += wn[l * C + c] * feats[:, k]
+        np.testing.assert_allclose(cols, want, rtol=1e-4, atol=1e-4)
+
+    def test_mm_gather_grads(self):
+        """First- and second-order grads vs an identical-math jnp
+        implementation.  Analytic comparison, not finite differences —
+        the two-term bf16 split makes the kernel's output piecewise
+        (steps ~2^-17·scale) which numerical differencing amplifies by
+        1/eps into noise."""
+        rng = np.random.RandomState(2)
+        C, F, B, r_pad = 4, 2, 512, 128
+        sizes, offsets = (100,), (0,)
+        flat = jnp.asarray(rng.randn(100 * F).astype(np.float32))
+        idxl = jnp.asarray(rng.randint(0, 100, (C, B)).astype(np.int32))
+        w = jnp.asarray(rng.rand(C, B).astype(np.float32))
+
+        def ref(fl, w):
+            t2 = fl.reshape(-1, F)
+            cols = jnp.zeros((F, B))
+            for c in range(C):
+                feats = jnp.take(t2, idxl[c], axis=0)
+                cols = cols + w[c][None, :] * feats.T
+            return jnp.sum(cols ** 2)
+
+        def fast(fl, w):
+            return jnp.sum(gm.mm_gather(fl, idxl, w, sizes, offsets,
+                                        F, C, r_pad) ** 2)
+
+        g_r = jax.grad(ref, (0, 1))(flat, w)
+        g_f = jax.grad(fast, (0, 1))(flat, w)
+        for a, b in zip(g_r, g_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+        # Second order: d²/dflat² of grad-norm² (reverse-over-reverse).
+        h_r = jax.grad(lambda fl: jnp.sum(
+            jax.grad(ref)(fl, w) ** 2))(flat)
+        h_f = jax.grad(lambda fl: jnp.sum(
+            jax.grad(fast)(fl, w) ** 2))(flat)
+        np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_f),
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_batch_tile_rules(self):
+        assert gm.batch_tile(2 ** 18) == 4096
+        assert gm.batch_tile(1536) == 512
+        assert gm.batch_tile(768) == 0   # largest pow2 divisor 256
+        assert gm.batch_tile(100) == 0
