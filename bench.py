@@ -118,6 +118,36 @@ def main():
     print(f"bench: train {n_chunks * chunk} steps in {train_time:.2f}s",
           file=sys.stderr, flush=True)
 
+    # Secondary number: the TPU-variant config (CoherentAdd hash —
+    # enables the packed-pair serial kernels where the matmul path
+    # doesn't apply).  The headline above measures the reference's
+    # EXACT config_hash.json; this reports the variant side by side.
+    tpu_variant = None
+    if not os.environ.get("TCNN_BENCH_SKIP_VARIANT"):
+        try:
+            model_v = tcnn.create_from_config(
+                2, 3, "configs/config_hash_tpu.json",
+                policy=tcnn.BF16_POLICY)
+            state_v = model_v.trainer.initial_state()
+            loop_v = model_v.trainer.make_training_loop(
+                sample_fn, chunk, sample_data=sampler.pool_data())
+            state_v, losses_v = loop_v(state_v, jax.random.fold_in(key, 5000))
+            fetch(losses_v)  # compile+warm
+            nv = max(n_chunks // 4, 1)
+            t0 = time.perf_counter()
+            for i in range(nv):
+                state_v, losses_v = loop_v(state_v,
+                                           jax.random.fold_in(key, 6000 + i))
+            fetch(losses_v[-1:])
+            tpu_variant = round(nv * chunk * batch_size
+                                / (time.perf_counter() - t0), 1)
+            print(f"bench: CoherentAdd variant {nv * chunk} steps -> "
+                  f"{tpu_variant:.0f} samples/s", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # variant must never sink the headline
+            print(f"warning: variant bench failed: {e}", file=sys.stderr,
+                  flush=True)
+
     # Inference throughput: one dispatch over a chunk of batches.
     params = model.trainer.inference_params(state)
     xy, _ = sampler.sample_batch(jax.random.key(7), batch_size)
@@ -213,6 +243,7 @@ def main():
             / (REFERENCE_TRAIN_SAMPLES_PER_SEC / REFERENCE_GPU_TFLOPS), 4)
             if tflops else None),
         "inference_samples_per_sec": round(infer_throughput, 1),
+        "coherent_add_variant_samples_per_sec": tpu_variant,
         "final_loss": final_loss,
         "batch_size": batch_size,
         "n_steps": n_chunks * chunk,

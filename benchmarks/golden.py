@@ -84,6 +84,17 @@ def main():
         print(f"PSNR@{target}: {trajectory[str(target)]} dB", flush=True)
     wall = time.perf_counter() - t0
 
+    # Producing commit, so staleness relative to HEAD is detectable
+    # (the artifact pins numbers, not behavior — a rerun on hardware is
+    # the only true refresh, but at least the provenance is recorded).
+    try:
+        import subprocess
+        commit = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(__file__)).decode().strip()
+    except Exception:
+        commit = None
+
     out = {
         "image": img_name,
         "config": "config_hash.json (HashGrid L16 F2 log2=15 + "
@@ -92,6 +103,7 @@ def main():
         "psnr_db": trajectory,
         "train_wall_seconds": round(wall, 1),
         "device": str(jax.devices()[0]),
+        "producing_commit": commit,
     }
     path = os.path.join(os.path.dirname(__file__), "golden_image_fit.json")
     with open(path, "w") as f:

@@ -1,0 +1,180 @@
+"""Round-3 microbench: grid gather/scatter design shoot-out on real TPU.
+
+Measures, at the flagship geometry (HashGrid L16 F2 hashmap=2^15,
+B=2^18), each of the candidate reduction architectures against each
+other (VERDICT round-2 asked for at least two implemented + measured):
+
+  fwd:  take-paired gather (round-2)  vs  MXU matmul gather (round-3)
+  bwd:  serial pair scatter (round-2) vs  MXU matmul scatter (round-3)
+                                      vs  sort+segment-sum (XLA)
+  step: full training step with each routing
+
+Timing protocol per the axon-tunnel rules: K reps inside ONE dispatch
+(lax.scan with data dependency), scalar readback, slope over two Ks.
+Usage:  python benchmarks/microbench_r3.py [fwd|bwd|sort|step|all]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+import numpy as np
+
+
+def fetch(x):
+    import jax
+
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def slope(make_loop, ks=(4, 16), label=""):
+    times = {}
+    for k in ks:
+        f = make_loop(k)
+        import jax
+
+        fetch(f(jax.random.key(0)))  # compile+warm
+        t0 = time.time()
+        fetch(f(jax.random.key(1)))
+        times[k] = time.time() - t0
+    per = (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
+    fixed = times[ks[0]] - ks[0] * per
+    print(f"{label}: {per * 1e3:.2f} ms/op (fixed {fixed * 1e3:.0f} ms)",
+          flush=True)
+    return per
+
+
+def sort_segment_scatter(idx, g, n_rows):
+    """Sort-based deterministic scatter-add (design candidate (b) from
+    the round-2 verdict): sort updates by row, segment-sum runs via
+    cumulative-sum differencing at segment ends, then one scatter of at
+    most n_rows per-row totals.  All XLA ops."""
+    import jax.numpy as jnp
+
+    order = jnp.argsort(idx)
+    si = jnp.take(idx, order)
+    sg = jnp.take(g, order, axis=0)
+    cs = jnp.cumsum(sg.astype(jnp.float32), axis=0)
+    is_last = jnp.concatenate([si[1:] != si[:-1], jnp.ones((1,), bool)])
+    # Segment ends in increasing position; ≤ n_rows distinct rows, so
+    # padding with the final position yields zero diffs (exact).
+    end_pos = jnp.nonzero(is_last, size=n_rows,
+                          fill_value=si.shape[0] - 1)[0]
+    ends = jnp.take(cs, end_pos, axis=0)
+    rows = jnp.take(si, end_pos)
+    totals = jnp.concatenate([ends[:1], ends[1:] - ends[:-1]], axis=0)
+    out = jnp.zeros((n_rows, g.shape[1]), jnp.float32)
+    return out.at[rows].add(totals)
+
+
+def main(which):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tcnn
+    from tcnn_tpu.common import HashType
+    from tcnn_tpu.ops import grid_ops
+
+    B = int(os.environ.get("MB_BATCH", 1 << 18))
+    spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5,
+                                   hash_type=HashType.COHERENT_ADD)
+    spec_prime = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5,
+                                         hash_type=HashType.COHERENT_PRIME)
+    table = grid_ops.init_grid_params(jax.random.key(0), spec).reshape(-1)
+    print(f"table rows={spec.n_entries} B={B}", flush=True)
+
+    def scan_over(body, K, init):
+        def run(key):
+            def step(carry, i):
+                return body(carry, jax.random.fold_in(key, i)), None
+
+            out, _ = jax.lax.scan(step, init, jnp.arange(K))
+            return jax.tree_util.tree_leaves(out)[0].ravel()[0]
+
+        return jax.jit(run)
+
+    def set_mm(on):
+        if on:
+            os.environ.pop("TCNN_TPU_DISABLE_MM", None)
+        else:
+            os.environ["TCNN_TPU_DISABLE_MM"] = "1"
+
+    if which in ("fwd", "all"):
+        for name, sp in (("CoherentAdd", spec), ("CoherentPrime", spec_prime)):
+            for mm in (True, False):
+                set_mm(mm)
+
+                def body(c, key):
+                    x = jax.random.uniform(key, (B, 2))
+                    y = grid_ops.grid_encode(sp, table, x,
+                                             fast_scatter=True)
+                    return c + jnp.sum(y.astype(jnp.float32))
+
+                slope(lambda K: scan_over(body, K, jnp.float32(0)),
+                      label=f"grid fwd {name} mm={mm}")
+        set_mm(True)
+
+    if which in ("bwd", "all"):
+        for name, sp in (("CoherentAdd", spec), ("CoherentPrime", spec_prime)):
+            for mm in (True, False):
+                set_mm(mm)
+
+                def body(tb, key):
+                    x = jax.random.uniform(key, (B, 2))
+
+                    def loss(t):
+                        y = grid_ops.grid_encode(sp, t, x,
+                                                 fast_scatter=True)
+                        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+                    return tb + 1e-3 * jax.grad(loss)(tb)
+
+                slope(lambda K: scan_over(body, K, table),
+                      label=f"grid fwd+bwd {name} mm={mm}")
+        set_mm(True)
+
+    if which in ("sort", "all"):
+        # Sort+segment candidate, hash levels only (10 levels x C*B).
+        m = 10 * 4 * B
+        idx = jax.random.randint(jax.random.key(3), (m,), 0,
+                                 spec.n_entries, jnp.int32)
+        g = jax.random.normal(jax.random.key(4), (m, 2))
+
+        def body(c, key):
+            i2 = idx ^ jax.random.randint(key, (), 0, 4, jnp.int32)
+            out = sort_segment_scatter(i2, g, spec.n_entries)
+            return c + out.ravel()[0]
+
+        slope(lambda K: scan_over(body, K, jnp.float32(0)), ks=(2, 6),
+              label=f"sort+segment scatter m={m}")
+
+    if which in ("step", "all"):
+        model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
+                                        policy=tcnn.BF16_POLICY)
+        tr = model.trainer
+        state = tr.initial_state()
+        t = jax.random.uniform(jax.random.key(1), (B, 3))
+
+        for mm in (True, False):
+            set_mm(mm)
+
+            def body(st, key):
+                x = jax.random.uniform(key, (B, 2))
+                st, _ = tr._training_step(st, x, t, None)
+                return st
+
+            slope(lambda K: scan_over(body, K, state),
+                  label=f"train step B={B} mm={mm}")
+        set_mm(True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
