@@ -63,24 +63,88 @@ class DataParallel:
         return jax.device_put(tree, self.replicated)
 
     # -- compiled steps -----------------------------------------------
-    def make_training_step(self, trainer, with_pdf: bool = False):
-        """jit the trainer's step with explicit shardings: donated
-        replicated state, batch-sharded inputs (x, target, and the
-        importance-sampling pdf when ``with_pdf``), replicated outputs.
+    def make_training_step(self, trainer, with_pdf: bool = False,
+                           use_shard_map: Optional[bool] = None):
+        """Compile the trainer's step data-parallel over the mesh.
 
-        The resulting executable contains the cross-replica all-reduce
-        of parameter gradients (one psum per parameter group, which XLA
-        schedules concurrently with unrelated backward work)."""
+        Two equivalent lowerings:
+
+        * ``use_shard_map=True`` (the default): the step body runs
+          per-shard inside :func:`jax.shard_map` — each device computes
+          loss+grads on ITS batch shard (so the Pallas kernels see a
+          plain local batch and need no SPMD partitioning rules), then
+          grads/loss are ``pmean``-ed over ICI and the optimizer update
+          runs replicated.  This is the production path: it is the only
+          lowering under which pallas_call executes data-parallel.
+        * ``use_shard_map=False``: plain jit with shardings, leaving
+          partitioning to XLA's SPMD pass.  Correct for the pure-XLA
+          compute path; XLA cannot partition pallas_call, so this
+          lowering is only for kernel-free runs / comparison.
+
+        Output-perturbation training (perturbation_sigma) draws its
+        logistic noise with a batch-shaped key, which would differ
+        per-shard under shard_map — such trainers fall back to the jit
+        lowering to keep exact single-device parity.
+
+        The gradient all-reduce over ICI is the TPU replacement for the
+        reference's side-stream wgrad overlap
+        (fully_fused_mlp.cu:782-829): XLA overlaps the psum with the
+        remaining backward chain.
+        """
         state_s = self.replicated
         batch_s = self.batch_sharding
         n_batch_args = 3 if with_pdf else 2
-        return trainer.make_training_step(
-            with_pdf=with_pdf,
-            in_shardings=(state_s,) + (batch_s,) * n_batch_args,
-            out_shardings=(state_s, state_s),
-        )
+        if use_shard_map is None:
+            use_shard_map = not trainer.perturbation_sigma
+        if not use_shard_map:
+            return trainer.make_training_step(
+                with_pdf=with_pdf,
+                in_shardings=(state_s,) + (batch_s,) * n_batch_args,
+                out_shardings=(state_s, state_s),
+            )
 
-    def make_inference(self, trainer):
+        from tcnn_tpu.trainer import TrainerState
+
+        axis = self.axis_name
+
+        def per_shard(state, x, target, pdf):
+            loss_value, grads = trainer.loss_value_and_grads(
+                state.params, x, target, pdf, step=state.step)
+            # Per-shard losses are means over the local batch; equal
+            # shard sizes make pmean the exact global mean.  Gradients
+            # of a mean likewise combine by pmean.
+            loss_value = jax.lax.pmean(loss_value, axis)
+            grads = jax.lax.pmean(grads, axis)
+            opt_state, params = trainer.optimizer.step(
+                state.opt_state, grads, state.params)
+            return (TrainerState(params=params, opt_state=opt_state,
+                                 step=state.step + 1), loss_value)
+
+        P_b, P_r = P(self.axis_name), P()
+        if with_pdf:
+            fn = jax.shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P_r, P_b, P_b, P_b),
+                out_specs=(P_r, P_r), check_vma=False)
+        else:
+            fn = jax.shard_map(
+                lambda state, x, target: per_shard(state, x, target, None),
+                mesh=self.mesh,
+                in_specs=(P_r, P_b, P_b),
+                out_specs=(P_r, P_r), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def make_inference(self, trainer, use_shard_map: bool = True):
+        """Batch-sharded inference; shard_map (default) hands each
+        device a plain local batch so the Pallas fused-MLP kernel runs
+        per-shard without SPMD partitioning rules."""
+        if use_shard_map:
+            fn = jax.shard_map(
+                lambda params, x: trainer.model.inference(params, x),
+                mesh=self.mesh,
+                in_specs=(P(), P(self.axis_name)),
+                out_specs=P(self.axis_name), check_vma=False)
+            return jax.jit(fn)
         return jax.jit(
             lambda params, x: trainer.model.inference(params, x),
             in_shardings=(self.replicated, self.batch_sharding),

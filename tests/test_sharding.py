@@ -80,3 +80,61 @@ class TestDataParallel:
         t = jax.random.uniform(jax.random.key(3), (4 * 16, 3))
         state, loss = step(state, dp.shard_batch(x), dp.shard_batch(t))
         assert np.isfinite(float(loss))
+
+
+class TestShardMapWithKernels:
+    """Round-3: the production Pallas kernels must run data-parallel.
+    shard_map hands each device a plain local batch, so pallas_call
+    needs no SPMD partitioning rules; grads pmean over the mesh.  Here
+    the kernels are FORCED on (interpret mode on CPU) with a per-shard
+    batch large enough for the kernel tile floors."""
+
+    def _config(self):
+        return {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+            "encoding": {"otype": "HashGrid", "n_levels": 4,
+                         "n_features_per_level": 2, "log2_hashmap_size": 10,
+                         "base_resolution": 4, "per_level_scale": 1.5},
+            "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                        "n_hidden_layers": 2},
+        }
+
+    def test_loss_curve_matches_single_device(self, monkeypatch):
+        monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
+        model_a = tcnn.create_from_config(2, 3, self._config())
+        model_b = tcnn.create_from_config(2, 3, self._config())
+        state_a = model_a.trainer.initial_state()
+        dp = DataParallel()
+        step_b = dp.make_training_step(model_b.trainer, use_shard_map=True)
+        state_b = dp.replicate(model_b.trainer.initial_state())
+
+        b = dp.n_devices * 512  # ≥ kernel tile floor per shard
+        key = jax.random.key(7)
+        for i in range(3):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (b, 2))
+            t = jax.random.uniform(k2, (b, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, dp.shard_batch(x),
+                                 dp.shard_batch(t))
+            np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
+        # Params end up equal too (same math, fp add order aside).
+        pa = jax.tree_util.tree_leaves(state_a.params)
+        pb = jax.tree_util.tree_leaves(jax.device_get(state_b.params))
+        for a_, b_ in zip(pa, pb):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_sharded_inference_with_fused_mlp(self, monkeypatch):
+        monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
+        model = tcnn.create_from_config(2, 3, self._config())
+        state = model.trainer.initial_state()
+        dp = DataParallel()
+        infer = dp.make_inference(model.trainer, use_shard_map=True)
+        x = jax.random.uniform(jax.random.key(1), (dp.n_devices * 512, 2))
+        y = infer(dp.replicate(state.params), dp.shard_batch(x))
+        y_ref = model.trainer.forward(state, x)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(y_ref, np.float32),
+                                   rtol=2e-2, atol=2e-3)
