@@ -150,27 +150,34 @@ def main():
 
     # Inference throughput: one dispatch over a chunk of batches.
     params = model.trainer.inference_params(state)
-    xy, _ = sampler.sample_batch(jax.random.key(7), batch_size)
 
-    # Chained inference: each call's input depends on the previous
-    # call's output, so the device genuinely serializes the work — a
-    # free-running pipeline on the tunnel over-reports completion.
-    # (Looping inference inside one compiled scan/fori hangs the remote
-    # compiler; plain chained dispatches sidestep that.)
-    def infer_step(params, xy, carry):
-        y = model.network.inference(params, xy + carry * jnp.float32(1e-30))
-        return y[0, 0]
+    # Scan-chunked inference, mirroring the training measurement: one
+    # dispatch runs `chunk` inference batches with inputs generated
+    # in-loop and a data-dependent carry serializing them (per-batch
+    # serial dispatches would measure tunnel dispatch latency — the
+    # round-2 artifact showed inference BELOW training throughput for
+    # exactly that reason).
+    def infer_chunk(params, key):
+        def body(carry, i):
+            x = jax.random.uniform(jax.random.fold_in(key, i),
+                                   (batch_size, 2))
+            y = model.network.inference(
+                params, x + carry * jnp.float32(1e-30))
+            return y[0, 0].astype(jnp.float32), None
 
-    infer = jax.jit(infer_step)
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(chunk))
+        return out
+
+    infer = jax.jit(infer_chunk)
     print("bench: compiling inference step...", file=sys.stderr, flush=True)
-    carry = infer(params, xy, jnp.float32(0))
-    fetch(carry)
-    n_inf = max(n_chunks * chunk, 100)
+    fetch(infer(params, jax.random.key(11)))
+    n_inf_chunks = max(n_chunks, 2)
     t0 = time.perf_counter()
-    for _ in range(n_inf):
-        carry = infer(params, xy, carry)
+    for i in range(n_inf_chunks):
+        carry = infer(params, jax.random.fold_in(key, 9000 + i))
     fetch(carry)
     t1 = time.perf_counter()
+    n_inf = n_inf_chunks * chunk
     infer_throughput = n_inf * batch_size / (t1 - t0)
     print(f"bench: inference {n_inf} batches in {t1 - t0:.2f}s",
           file=sys.stderr, flush=True)

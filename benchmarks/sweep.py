@@ -102,26 +102,36 @@ def main():
             final_loss = fetch(losses[-1:])
             train_tp = n_chunks * chunk * batch_size / (time.perf_counter() - t0)
 
-            # Inference: chained through a carry so the device
-            # genuinely serializes the work.
+            # Inference: scan-chunked like training (one dispatch per
+            # chunk of batches, inputs generated in-loop, serialized by
+            # a data-dependent carry) — serial per-batch dispatches
+            # would measure tunnel dispatch latency, not the device
+            # (round-2 sweep artifact showed inference BELOW training
+            # throughput for exactly that reason).
             params = model.trainer.inference_params(state)
-            xy, _ = sampler.sample_batch(jax.random.key(1), batch_size)
+            import jax.numpy as jnp
 
-            def infer_step(p, x, carry):
-                import jax.numpy as jnp
+            def infer_chunk(p, key):
+                def body(carry, i):
+                    x = jax.random.uniform(
+                        jax.random.fold_in(key, i), (batch_size, 2))
+                    y = model.network.inference(
+                        p, x + carry * jnp.float32(1e-30))
+                    return y[0, 0].astype(jnp.float32), None
 
-                y = model.network.inference(p, x + carry * jnp.float32(1e-30))
-                return y[0, 0]
+                out, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jnp.arange(chunk))
+                return out
 
-            infer = jax.jit(infer_step)
-            carry = infer(params, xy, 0.0)
-            fetch(carry)
-            n_inf = max(n_iters // 5, 50)
+            infer = jax.jit(infer_chunk)
+            fetch(infer(params, jax.random.key(1)))  # compile+warm
+            n_inf_chunks = max(n_chunks, 2)
             t0 = time.perf_counter()
-            for _ in range(n_inf):
-                carry = infer(params, xy, carry)
+            for i in range(n_inf_chunks):
+                carry = infer(params, jax.random.fold_in(key, 5000 + i))
             fetch(carry)
-            infer_tp = n_inf * batch_size / (time.perf_counter() - t0)
+            infer_tp = (n_inf_chunks * chunk * batch_size
+                        / (time.perf_counter() - t0))
 
             cell = {
                 "batch_size": batch_size,
