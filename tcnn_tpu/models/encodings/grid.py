@@ -96,9 +96,14 @@ class GridEncoding(Encoding):
     # expensive minor-dim assembly of the (B, L·F) view.
     prefers_soa = True
 
-    def apply(self, params, x, soa: bool = False):
+    def apply(self, params, x, soa: bool = False,
+              max_level_per_element=None):
+        """``max_level_per_element``: optional traced (B,) float level
+        fractions — the reference's per-element ``max_level_gpu``
+        coarse-to-fine masking (grid.h:69-92)."""
         y = grid_ops.grid_encode(self.spec, params["grid"], x,
-                                 max_level=self.max_level, soa=soa)
+                                 max_level=self.max_level, soa=soa,
+                                 max_level_per_element=max_level_per_element)
         return y.astype(self.policy.compute_dtype)
 
     def required_output_alignment(self) -> int:

@@ -700,6 +700,7 @@ def grid_encode(
     max_level: Optional[int] = None,
     fast_scatter: Optional[bool] = None,
     soa: bool = False,
+    max_level_per_element: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Forward grid encoding.
 
@@ -710,6 +711,13 @@ def grid_encode(
       max_level: optional static level cutoff — levels ≥ max_level emit
         zeros (and receive zero grads), matching the reference's
         max_level masking (grid.h:69-92).
+      max_level_per_element: optional traced (B,) float array of
+        per-SAMPLE level fractions in [0, 1] (the reference's
+        ``max_level_gpu``, grid.h:69-92): sample b uses levels
+        l < max_level_per_element[b]·n_levels + 1e-3; masked levels
+        emit zeros and receive zero grads for that sample only (the
+        coarse-to-fine schedules of instant-ngp).  Composes with the
+        static ``max_level`` cutoff.
       soa: emit (L·F, B) instead of (B, L·F).  SoA is the reference's
         preferred grid layout (grid.h:1053-1055) and the TPU-efficient
         one: assembling (B, L·F) from per-level pieces is a minor-dim
@@ -742,6 +750,20 @@ def grid_encode(
             if max_level is None or li < max_level]
     if live:
         idx, ws, ws_bwd = _build_indices_weights(spec, x, live)
+        if max_level_per_element is not None:
+            # Per-sample coarse-to-fine masking (grid.h:69-92): level l
+            # is live for sample b iff l < frac[b]·n_levels + 1e-3.
+            # Zeroing the corner weights zeroes the sample's output on
+            # masked levels AND (weights enter every scatter/gather
+            # path multiplicatively) its table and input gradients.
+            frac = max_level_per_element.astype(jnp.float32).reshape(1, -1)
+            lvl_col = _const_col(live, np.float32)         # (L, 1)
+            live_mask = (lvl_col < frac * float(spec.n_levels)
+                         + 1e-3).astype(jnp.float32)       # (L, B)
+            C_ = 1 << spec.n_dims
+            mask_lc = jnp.repeat(live_mask, C_, axis=0)    # (L·C, B)
+            ws = ws * mask_lc
+            ws_bwd = ws_bwd * mask_lc
         if fast_scatter or spec.stochastic_interpolation:
             # Stochastic interpolation always needs the custom VJP (the
             # scatter weights differ from the forward weights).

@@ -366,3 +366,75 @@ class TestOddRowCountPairedForward:
         g_slow = jax.grad(loss(False))(table)
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPerElementMaxLevel:
+    """Per-sample coarse-to-fine masking — the reference's
+    ``max_level_gpu`` device array (grid.h:69-92): sample b keeps
+    levels l < frac[b]·n_levels + 1e-3; masked levels emit zeros and
+    get zero grads for that sample."""
+
+    def _setup(self):
+        spec = grid_ops.make_grid_spec(2, 4, 2, 10, 4, 2.0)
+        table = jax.random.normal(key(80), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(81), (1024, 2))
+        # Sample fractions hitting 0, 1/L .. 1 boundaries.
+        frac = jnp.asarray(
+            np.random.RandomState(3).choice(
+                [0.0, 0.25, 0.5, 0.75, 1.0], size=1024).astype(np.float32))
+        return spec, table, x, frac
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_masked_levels_zero(self, fast):
+        spec, table, x, frac = self._setup()
+        y = grid_ops.grid_encode(spec, table, x, fast_scatter=fast,
+                                 max_level_per_element=frac)
+        y = np.asarray(y)                      # (B, L·F)
+        n_keep = np.minimum(
+            np.floor(np.asarray(frac) * spec.n_levels + 1e-3).astype(int)
+            + (np.mod(np.asarray(frac) * spec.n_levels, 1.0) == 0),
+            spec.n_levels)
+        # reference rule: level live iff level < frac*L + 1e-3
+        for b in range(0, 1024, 97):
+            live = np.arange(spec.n_levels) < (
+                float(frac[b]) * spec.n_levels + 1e-3)
+            for l in range(spec.n_levels):
+                seg = y[b, l * 2:(l + 1) * 2]
+                if not live[l]:
+                    assert np.all(seg == 0), (b, l, seg)
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_unmasked_levels_match_plain(self, fast):
+        spec, table, x, _ = self._setup()
+        frac = jnp.ones((1024,), jnp.float32)  # everything live
+        y_m = grid_ops.grid_encode(spec, table, x, fast_scatter=fast,
+                                   max_level_per_element=frac)
+        y = grid_ops.grid_encode(spec, table, x, fast_scatter=fast)
+        np.testing.assert_allclose(np.asarray(y_m), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_grads_masked_per_sample(self, fast):
+        """Table grads must exclude masked (sample, level) updates —
+        compare against manually restricting the batch."""
+        spec, table, x, _ = self._setup()
+        b_half = 512
+        frac = jnp.concatenate([jnp.zeros((b_half,)),
+                                jnp.ones((1024 - b_half,))])
+
+        g_masked = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=fast,
+            max_level_per_element=frac) ** 2))(table)
+        # frac=0 samples keep ONLY level 0 (reference rule: masked iff
+        # level >= frac·L + 1e-3), so the manual equivalent is the
+        # second half at full depth plus the first half at the static
+        # max_level=1 cutoff.
+        g_manual = jax.grad(lambda t: (
+            jnp.sum(grid_ops.grid_encode(
+                spec, t, x[b_half:], fast_scatter=fast) ** 2)
+            + jnp.sum(grid_ops.grid_encode(
+                spec, t, x[:b_half], fast_scatter=fast,
+                max_level=1) ** 2)))(table)
+        np.testing.assert_allclose(np.asarray(g_masked),
+                                   np.asarray(g_manual),
+                                   rtol=1e-3, atol=1e-4)
