@@ -107,7 +107,7 @@ def _scatter_kernel(c: int, f: int, hi_n: int, n_passes: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     n = _LO * f
-    tt = idx_ref.shape[1]
+    tt = idx_ref.shape[2]
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, tt), 0)
     lo_of_n = iota_n // f
@@ -116,13 +116,13 @@ def _scatter_kernel(c: int, f: int, hi_n: int, n_passes: int,
     # dy rows replicated to the (N, T) pattern: row n holds dy[n % F].
     dpat = jnp.zeros((n, tt), jnp.float32)
     for k in range(f):
-        dpat = jnp.where(f_of_n == k, dy_ref[k:k + 1, :], dpat)
+        dpat = jnp.where(f_of_n == k, dy_ref[0, k:k + 1, :], dpat)
 
     acc = jnp.zeros((hi_n, n), jnp.float32)
     for ci in range(c):
-        idx = idx_ref[ci:ci + 1, :]
+        idx = idx_ref[0, ci:ci + 1, :]
         hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-        wd = w_ref[ci:ci + 1, :] * dpat            # (N, T) f32 values
+        wd = w_ref[0, ci:ci + 1, :] * dpat         # (N, T) f32 values
         lo_mask = lo_of_n == (idx % _LO)
         for term in _split_bf16(wd, n_passes):
             w_t = jnp.where(lo_mask, term, jnp.bfloat16(0))
@@ -158,20 +158,24 @@ def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
     if t == 0:
         raise ValueError(f"batch {b} has no usable tile")
 
+    # 3-D operands (Lg, C, B) so each block covers the full (C,·) dims
+    # — Mosaic requires block dims to be 8/128-aligned OR equal to the
+    # whole array dimension, and C/F are small.
     kernel = functools.partial(_scatter_kernel, c, f, hi_n, n_passes)
     out = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
-            pl.BlockSpec((c, t), lambda l, tb: (l, tb)),
-            pl.BlockSpec((c, t), lambda l, tb: (l, tb)),
-            pl.BlockSpec((f, t), lambda l, tb: (l, tb)),
+            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, f, t), lambda l, tb: (l, 0, tb)),
         ],
         out_specs=pl.BlockSpec((1, hi_n, n), lambda l, tb: (l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((lg, hi_n, n), jnp.float32),
         interpret=interpret_mode(),
-    )(idx_local.astype(jnp.int32), w.astype(jnp.float32),
-      dcols.astype(jnp.float32))
+    )(idx_local.astype(jnp.int32).reshape(lg, c, b),
+      w.astype(jnp.float32).reshape(lg, c, b),
+      dcols.astype(jnp.float32).reshape(lg, f, b))
     # (Lg, HI, 128·F) -> (Lg, r_pad, F): row hi·128+lo, feature f lives
     # at [hi, lo·F+f] — a pure reshape of the row-major layout.
     return out.reshape(lg, r_pad, f)
@@ -189,11 +193,11 @@ def _gather_kernel(c: int, f: int, hi_n: int, n_passes: int,
     tab_ref: (1, P·N, HI) bf16 — P = n_passes value terms of the
              level's table, transposed: tab[p·N + lo·F+f, hi] =
              term_p(table[hi·128+lo, f]).
-    idx_ref: (C, T) int32 level-local rows.  w_ref: (C, T) f32.
-    out_ref: (F, T) f32 interpolated columns.
+    idx_ref: (1, C, T) int32 level-local rows.  w_ref: (1, C, T) f32.
+    out_ref: (1, F, T) f32 interpolated columns.
     """
     n = _LO * f
-    tt = idx_ref.shape[1]
+    tt = idx_ref.shape[2]
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, tt), 0)
     lo_of_n = iota_n // f
@@ -201,7 +205,7 @@ def _gather_kernel(c: int, f: int, hi_n: int, n_passes: int,
 
     acc = jnp.zeros((f, tt), jnp.float32)
     for ci in range(c):
-        idx = idx_ref[ci:ci + 1, :]
+        idx = idx_ref[0, ci:ci + 1, :]
         hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
         z = jnp.zeros((n, tt), jnp.float32)
         for p in range(n_passes):
@@ -210,13 +214,13 @@ def _gather_kernel(c: int, f: int, hi_n: int, n_passes: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         sel = jnp.where(lo_of_n == (idx % _LO), z, 0.0)
-        w_c = w_ref[ci:ci + 1, :]
+        w_c = w_ref[0, ci:ci + 1, :]
         rows = []
         for k in range(f):
             rows.append(jnp.sum(jnp.where(f_of_n == k, sel, 0.0),
                                 axis=0, keepdims=True))
         acc = acc + w_c * jnp.concatenate(rows, axis=0)
-    out_ref[...] = acc
+    out_ref[...] = acc[None]
 
 
 def pack_tables(flat: jax.Array, sizes: Sequence[int],
@@ -258,18 +262,20 @@ def _gather_levels_matmul_impl(tabT: jax.Array, idx_local: jax.Array,
         raise ValueError(f"batch {b} has no usable tile")
 
     kernel = functools.partial(_gather_kernel, c, f, hi_n, n_passes)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
             pl.BlockSpec((1, pn, hi_n), lambda l, tb: (l, 0, 0)),
-            pl.BlockSpec((c, t), lambda l, tb: (l, tb)),
-            pl.BlockSpec((c, t), lambda l, tb: (l, tb)),
+            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
         ],
-        out_specs=pl.BlockSpec((f, t), lambda l, tb: (l, tb)),
-        out_shape=jax.ShapeDtypeStruct((lg * f, b), jnp.float32),
+        out_specs=pl.BlockSpec((1, f, t), lambda l, tb: (l, 0, tb)),
+        out_shape=jax.ShapeDtypeStruct((lg, f, b), jnp.float32),
         interpret=interpret_mode(),
-    )(tabT, idx_local.astype(jnp.int32), w.astype(jnp.float32))
+    )(tabT, idx_local.astype(jnp.int32).reshape(lg, c, b),
+      w.astype(jnp.float32).reshape(lg, c, b))
+    return out.reshape(lg * f, b)
 
 
 # ---------------------------------------------------------------------------

@@ -135,7 +135,7 @@ def _main() -> None:
             t = jax.lax.with_sharding_constraint(
                 jax.random.uniform(jax.random.fold_in(k, 1),
                                    (args.batch, 3)), batch_s)
-            return trainer._training_step(st, x, t, None)
+            return trainer.step_fn()(st, x, t)
 
         return jax.lax.scan(body, state, jnp.arange(args.chunk))
 

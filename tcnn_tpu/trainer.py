@@ -125,6 +125,17 @@ class Trainer:
             return self._jitted_step_no_pdf(state, x, target)
         return self._jitted_step(state, x, target, pdf)
 
+    def step_fn(self, *, with_pdf: bool = False):
+        """Public UNJITTED step body ``(state, x, target[, pdf]) ->
+        (state, loss)`` — for callers composing their own jit/scan/
+        shard_map around the step (DataParallel, the multi-host
+        launcher).  Use :meth:`make_training_step` for a ready-jitted
+        version."""
+        if with_pdf:
+            return self._training_step
+        return lambda state, x, target: self._training_step(
+            state, x, target, None)
+
     def make_training_step(self, *, with_pdf: bool = False,
                            in_shardings=None, out_shardings=None,
                            donate_state: bool = True):
