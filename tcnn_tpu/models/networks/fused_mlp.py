@@ -40,6 +40,11 @@ from .mlp import MLP
 def _pallas_supported() -> bool:
     if os.environ.get("TCNN_TPU_DISABLE_PALLAS"):
         return False
+    if os.environ.get("TCNN_TPU_FORCE_FAST_SCATTER"):
+        # One switch engages the FULL production kernel path off-TPU
+        # (interpret mode) — used by the multichip dry run and the
+        # shard_map tests.
+        return True
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
@@ -58,13 +63,30 @@ class FusedMLP(MLP):
                 "arbitrary widths")
         self.use_pallas = (_pallas_supported() if use_pallas is None
                            else use_pallas)
+        # Explicit use_pallas=True pins the kernel regardless of batch
+        # (tests exercise it at small sizes); auto-detection dispatches
+        # by batch size below.
+        self._explicit_pallas = use_pallas is not None
 
     # Accepts (D_in, B) feature-major input (the grid encoding's native
     # layout) — the kernel contracts the transposed operand on the MXU.
     accepts_soa_input = True
 
+    # Below this batch the Pallas kernel's fixed costs (launch +
+    # pipeline ramp + materializing the input at the kernel boundary,
+    # which XLA would otherwise fuse away) outweigh its MXU advantage —
+    # the round-2 sweep measured plain XLA ahead for batches < 2^17.
+    # Like the reference's network factory picking FullyFused vs
+    # Cutlass by arch (src/network.cu:48-74), dispatch by batch size.
+    PALLAS_MIN_BATCH = int(os.environ.get("TCNN_TPU_FUSED_MIN_BATCH",
+                                          1 << 17))
+
     def apply(self, params, x, input_soa: bool = False):
-        if self.use_pallas and self._n_hidden_layers >= 1:
+        batch = x.shape[1] if input_soa else x.shape[0]
+        forced = bool(os.environ.get("TCNN_TPU_FORCE_FAST_SCATTER"))
+        if (self.use_pallas and self._n_hidden_layers >= 1
+                and (self._explicit_pallas or forced
+                     or batch >= self.PALLAS_MIN_BATCH)):
             from ...ops.pallas import fused_mlp as kernels
 
             return kernels.fused_mlp_apply(
