@@ -75,6 +75,7 @@ def sort_segment_scatter(idx, g, n_rows):
 def main(which):
     import jax
 
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
     import jax.numpy as jnp
@@ -107,38 +108,47 @@ def main(which):
         else:
             os.environ["TCNN_TPU_DISABLE_MM"] = "1"
 
+    # Variant selection via MB_VARIANTS (comma list of
+    # {add,prime}_{mm,serial}); default keeps the compile count low —
+    # remote compiles cost minutes each on the tunnel.
+    variants = os.environ.get("MB_VARIANTS", "prime_mm,add_serial").split(",")
+
+    def variant_list():
+        out = []
+        for v in variants:
+            name, mode = v.split("_")
+            sp = {"add": spec, "prime": spec_prime}[name]
+            out.append((v, sp, mode == "mm"))
+        return out
+
     if which in ("fwd", "all"):
-        for name, sp in (("CoherentAdd", spec), ("CoherentPrime", spec_prime)):
-            for mm in (True, False):
-                set_mm(mm)
+        for vname, sp, mm in variant_list():
+            set_mm(mm)
 
-                def body(c, key):
-                    x = jax.random.uniform(key, (B, 2))
-                    y = grid_ops.grid_encode(sp, table, x,
-                                             fast_scatter=True)
-                    return c + jnp.sum(y.astype(jnp.float32))
+            def body(c, key):
+                x = jax.random.uniform(key, (B, 2))
+                y = grid_ops.grid_encode(sp, table, x, fast_scatter=True)
+                return c + jnp.sum(y.astype(jnp.float32))
 
-                slope(lambda K: scan_over(body, K, jnp.float32(0)),
-                      label=f"grid fwd {name} mm={mm}")
+            slope(lambda K: scan_over(body, K, jnp.float32(0)),
+                  label=f"grid fwd {vname}")
         set_mm(True)
 
     if which in ("bwd", "all"):
-        for name, sp in (("CoherentAdd", spec), ("CoherentPrime", spec_prime)):
-            for mm in (True, False):
-                set_mm(mm)
+        for vname, sp, mm in variant_list():
+            set_mm(mm)
 
-                def body(tb, key):
-                    x = jax.random.uniform(key, (B, 2))
+            def body(tb, key):
+                x = jax.random.uniform(key, (B, 2))
 
-                    def loss(t):
-                        y = grid_ops.grid_encode(sp, t, x,
-                                                 fast_scatter=True)
-                        return jnp.sum(y.astype(jnp.float32) ** 2)
+                def loss(t):
+                    y = grid_ops.grid_encode(sp, t, x, fast_scatter=True)
+                    return jnp.sum(y.astype(jnp.float32) ** 2)
 
-                    return tb + 1e-3 * jax.grad(loss)(tb)
+                return tb + 1e-3 * jax.grad(loss)(tb)
 
-                slope(lambda K: scan_over(body, K, table),
-                      label=f"grid fwd+bwd {name} mm={mm}")
+            slope(lambda K: scan_over(body, K, table),
+                  label=f"grid fwd+bwd {vname}")
         set_mm(True)
 
     if which in ("sort", "all"):
