@@ -101,7 +101,15 @@ class GridEncoding(Encoding):
         """``max_level_per_element``: optional traced (B,) float level
         fractions — the reference's per-element ``max_level_gpu``
         coarse-to-fine masking (grid.h:69-92)."""
-        y = grid_ops.grid_encode(self.spec, params["grid"], x,
+        table = params["grid"]
+        if self.policy.compute_dtype == jnp.bfloat16:
+            # bf16 compute copy of the table — the reference trains
+            # with fp16 compute params cast from the fp32 masters
+            # (trainer.h:68-87); on TPU this also halves the matmul
+            # kernels' value passes (P=1).  Gradients flow through the
+            # cast back to the fp32 masters.
+            table = table.astype(jnp.bfloat16)
+        y = grid_ops.grid_encode(self.spec, table, x,
                                  max_level=self.max_level, soa=soa,
                                  max_level_per_element=max_level_per_element)
         return y.astype(self.policy.compute_dtype)

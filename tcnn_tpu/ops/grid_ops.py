@@ -674,6 +674,10 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
         dflat = part if dflat is None else dflat + part
     if dflat is None:
         dflat = jnp.zeros((n_flat,), jnp.float32)
+    # Cotangent dtype must match the primal table's (bf16 compute
+    # copies get bf16 grads — the reference's half grad accumulation,
+    # grid.h:655-666; the fp32 masters recover precision at the cast).
+    dflat = dflat.astype(flat.dtype)
 
     # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k] — feats
     # re-gathered lazily from the table (only needed for input
