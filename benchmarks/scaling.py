@@ -94,7 +94,7 @@ def main():
                     t = jax.lax.with_sharding_constraint(
                         jax.random.uniform(jax.random.fold_in(kk, 1),
                                            (batch, 3)), batch_s)
-                    st, loss = trainer._training_step(st, x, t, None)
+                    st, loss = trainer.step_fn()(st, x, t)
                     return st, loss
 
                 _, losses = jax.lax.scan(body, state, jnp.arange(k))
