@@ -232,6 +232,26 @@ def main():
               f"{t_hi - t_lo:.3f}s, {cand:.0f} TF over {k_hi - 20} "
               "matmuls); retrying longer", file=sys.stderr, flush=True)
     if tflops is None and candidates:
+        # One credible reading but no partner yet (short chains often
+        # all get acked early by the tunnel): re-measure the chain
+        # length that produced it until two readings agree.
+        k_best = candidates[-1][0]
+        for _ in range(3):
+            t_lo, t_hi = chain(20), chain(k_best)
+            cand = ((k_best - 20) * 2 * 4096 ** 3
+                    / max(t_hi - t_lo, 1e-9) / 1e12)
+            if (t_hi - t_lo) > 0.05 and cand <= 250.0:
+                candidates.append((k_best, round(t_hi - t_lo, 4),
+                                   round(cand, 2)))
+                a_, b_ = candidates[-2][2], candidates[-1][2]
+                if abs(a_ - b_) / max(a_, b_) <= 0.15:
+                    tflops = (a_ + b_) / 2
+                    probe_detail = {
+                        "accepted": candidates[-2:],
+                        "criterion": "two readings within 15%",
+                    }
+                    break
+    if tflops is None and candidates:
         print(f"warning: TFLOPS probe readings never agreed within 15% "
               f"({candidates}); reporting null", file=sys.stderr, flush=True)
     REFERENCE_GPU_TFLOPS = 82.6  # RTX 4090 bf16 (dense)
