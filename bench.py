@@ -193,12 +193,19 @@ def main():
     bmat = jax.random.normal(jax.random.key(10), (4096, 4096)).astype(jnp.bfloat16)
 
     def chain(n):
+        """median-of-3 timing: the tunnel shows both multi-second
+        hiccups (slow outliers → observed negative slopes) and
+        occasional early acks (fast outliers → impossible TFLOPS); the
+        median is robust to one outlier in either direction."""
         f = jax.jit(lambda x: jax.lax.fori_loop(
             0, n, lambda i, y: (y @ bmat).astype(jnp.bfloat16), x))
         fetch(f(a))
-        t0 = time.perf_counter()
-        fetch(f(a))
-        return time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(f(a))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
 
     # Slope over two chain lengths cancels the dispatch's argument
     # upload (~1.3s for the 64MB operands on the tunnel).  A single
