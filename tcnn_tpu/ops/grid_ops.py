@@ -479,7 +479,7 @@ def _mm_budgets():
     if os.environ.get("TCNN_TPU_DISABLE_MM"):
         return -1, -1
     return (int(os.environ.get("TCNN_TPU_MM_BUDGET_PAIRED", 400_000)),
-            int(os.environ.get("TCNN_TPU_MM_BUDGET_UNPAIRED", 1_000_000)))
+            int(os.environ.get("TCNN_TPU_MM_BUDGET_UNPAIRED", 800_000)))
 
 
 def _route_levels(fc, flat_dtype, b):
