@@ -85,6 +85,10 @@ def main():
         batch = per_device_batch * n
         batch_s = dp.batch_sharding
 
+        # The PRODUCTION lowering: shard_map per-shard step (Pallas
+        # kernels see a plain local batch; grads pmean over the mesh).
+        sm_step = dp.step_shard_map(trainer)
+
         def make_loop(k):
             def loop(state, key):
                 def body(st, i):
@@ -94,7 +98,7 @@ def main():
                     t = jax.lax.with_sharding_constraint(
                         jax.random.uniform(jax.random.fold_in(kk, 1),
                                            (batch, 3)), batch_s)
-                    st, loss = trainer.step_fn()(st, x, t)
+                    st, loss = sm_step(st, x, t)
                     return st, loss
 
                 _, losses = jax.lax.scan(body, state, jnp.arange(k))

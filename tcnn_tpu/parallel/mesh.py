@@ -120,19 +120,41 @@ class DataParallel:
             return (TrainerState(params=params, opt_state=opt_state,
                                  step=state.step + 1), loss_value)
 
+        fn = self.step_shard_map(trainer, with_pdf=with_pdf,
+                                 _per_shard=per_shard)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def step_shard_map(self, trainer, with_pdf: bool = False,
+                       _per_shard=None):
+        """UNJITTED shard_map-wrapped step ``(state, x, target[, pdf])
+        -> (state, loss)`` — for callers composing their own jit/scan
+        around the data-parallel step (scaling bench, custom loops)."""
+        if _per_shard is None:
+            axis = self.axis_name
+
+            def _per_shard(state, x, target, pdf):
+                from tcnn_tpu.trainer import TrainerState
+
+                loss_value, grads = trainer.loss_value_and_grads(
+                    state.params, x, target, pdf, step=state.step)
+                loss_value = jax.lax.pmean(loss_value, axis)
+                grads = jax.lax.pmean(grads, axis)
+                opt_state, params = trainer.optimizer.step(
+                    state.opt_state, grads, state.params)
+                return (TrainerState(params=params, opt_state=opt_state,
+                                     step=state.step + 1), loss_value)
+
         P_b, P_r = P(self.axis_name), P()
         if with_pdf:
-            fn = jax.shard_map(
-                per_shard, mesh=self.mesh,
+            return jax.shard_map(
+                _per_shard, mesh=self.mesh,
                 in_specs=(P_r, P_b, P_b, P_b),
                 out_specs=(P_r, P_r), check_vma=False)
-        else:
-            fn = jax.shard_map(
-                lambda state, x, target: per_shard(state, x, target, None),
-                mesh=self.mesh,
-                in_specs=(P_r, P_b, P_b),
-                out_specs=(P_r, P_r), check_vma=False)
-        return jax.jit(fn, donate_argnums=(0,))
+        return jax.shard_map(
+            lambda state, x, target: _per_shard(state, x, target, None),
+            mesh=self.mesh,
+            in_specs=(P_r, P_b, P_b),
+            out_specs=(P_r, P_r), check_vma=False)
 
     def make_inference(self, trainer, use_shard_map: bool = True):
         """Batch-sharded inference; shard_map (default) hands each
