@@ -7,10 +7,18 @@ efficiency(n) = throughput(n) / (n · throughput(1)).
 
 It runs unchanged on
   * the virtual 8-device CPU mesh (default here; validates the
-    measurement logic and the DP step without a pod):
+    measurement logic and the shard_map DP step without a pod):
         python benchmarks/scaling.py
   * real multi-chip/multi-host TPU (run on every host):
         TCNN_SCALING_REAL=1 python benchmarks/scaling.py
+
+The step goes through the PRODUCTION shard_map lowering in both modes;
+on a real TPU mesh the Pallas kernels engage automatically.  On the
+virtual CPU mesh the kernels stay off by default (interpret-mode
+kernels serialize on the host CPU and would measure the interpreter,
+not scaling) — kernels-on-mesh correctness is covered by
+tests/test_sharding.py and __graft_entry__.dryrun_multichip instead;
+set TCNN_TPU_FORCE_FAST_SCATTER=1 to engage them here anyway.
 
 Timing uses the scan-slope method (benchmarks/microbench.py): K steps
 inside ONE compiled dispatch, scalar readback, slope over two K values
