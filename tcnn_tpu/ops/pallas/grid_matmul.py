@@ -9,21 +9,36 @@ scatter hardware.  These kernels take the opposite approach: express
 the scatter (and the forward gather) as DENSE matmuls against one-hot
 matrices, so the work runs on the MXU/VPU at vector rates:
 
-  scatter:  grad[hi, lo·F+f] = Σ_u  1[idx_hi(u)=hi] · W[lo·F+f, u]
-            with W[n, u] = 1[idx_lo(u)=n//F] · w(u) · dy(n%F, u)
-            — ONE (HI, T)x(T→, N) contraction per update tile; the
-            one-hot factorization idx = hi·128 + lo keeps the compare
-            cost at (R/128 + 128·F) vector lanes per update instead
-            of R.
+  scatter:  grad_f[hi, lo] = Σ_s 1[idx_hi(s)=hi] · W_f[lo, s]
+            with W_f[lo, s] = 1[idx_lo(s)=lo] · (w·dy_f)(s)
+            — one (HI, T)x(T→, 128) contraction per (slot, feature);
+            the factorization idx = hi·128 + lo keeps the one-hot
+            build cost at (R/128 + 128) vector lanes per update
+            instead of R.
 
-  gather:   Z[n, u]   = Σ_hi tabT[n, hi] · 1[idx_hi(u)=hi]
-            y[f, u]   = Σ_lo 1[idx_lo(u)=lo] · Z[lo·F+f, u]
-            cols[f,b] = Σ_c  w_c(b) · y_c[f, b]
+  gather:   z_f[lo, s] = Σ_hi tab_f[lo, hi] · 1[idx_hi(s)=hi]
+            y_f[s]     = Σ_lo 1[idx_lo(s)=lo] · z_f[lo, s]
+            out[l·F+f] = Σ_c w_c · y_f
             — the level table (tiny: KBs..MBs) stays VMEM-resident as
             the matmul operand; interpolation weights are applied
             in-kernel so only the (L·F, B) feature columns ever leave.
 
-Per-update cost is ≈ R_pad·F MACs (MXU) + ~(R_pad/128 + 3·128·F)
+A "slot" s is a (level, corner) pair.  Two dispatch modes share the
+kernels:
+
+  * per-level (merged=False): pallas grid dim runs over levels, each
+    grid step handling that level's C corner slots against its own
+    (r_pad-row) table block.
+  * merged (merged=True): several SMALL levels are concatenated into
+    ONE virtual table (level-local rows shifted by intra-class
+    offsets) and all their Lg·C slots run in a single grid step.
+    Rationale: the MXU processes 128-row tiles, so a 300-row level
+    costs the same contraction as a 16384-row one — merging levels
+    until the virtual table fills ~128 hi-rows removes that padding
+    waste entirely (on the flagship geometry, per-level padding is
+    ~27% of all MACs).
+
+Per-update cost is ≈ R_pad·F MACs (MXU) + ~(R_pad/128 + 128·(1+F·P))
 vector lanes (VPU): at the flagship geometry (R=2^15, F=2) that is
 ~0.8 ns/update on a v5e vs the serial kernel's 9.5 ns/pair — and it is
 *hash-type agnostic* (no corner-adjacency requirement), so reference
@@ -52,12 +67,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from . import interpret_mode
 
 _LO = 128          # lanes of the one-hot "lo" factor (idx = hi*_LO + lo)
-_DEF_TILE = 4096   # updates per grid step (per corner)
+_DEF_TILE = 4096   # updates per grid step (per slot)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -87,18 +101,36 @@ def _split_bf16(v: jax.Array, n_passes: int):
     return [hi, lo]
 
 
+def _intra_offsets(sizes: Sequence[int]) -> Tuple[int, ...]:
+    """Row offsets of each level inside the merged virtual table."""
+    return tuple(int(x) for x in np.concatenate(
+        [[0], np.cumsum(np.array(sizes, np.int64))[:-1]]))
+
+
+def _virtualize_idx(idx_local: jax.Array, sizes, c: int,
+                    merged: bool) -> jax.Array:
+    """Level-local (Lg·C, B) rows -> kernel row space (adds intra-class
+    offsets in merged mode)."""
+    if not merged:
+        return idx_local
+    intra = np.repeat(np.array(_intra_offsets(sizes), np.int32), c)
+    return idx_local + jnp.asarray(intra)[:, None]
+
+
 # ---------------------------------------------------------------------------
-# Scatter: dflat[level tables] += one_hot(idx)^T @ (w * dy)
+# Scatter: dtables[f, hi, lo] += Σ_slots one_hot(idx)^T @ (w · dy_f)
 # ---------------------------------------------------------------------------
 
 
-def _scatter_kernel(c: int, f: int, hi_n: int, n_passes: int,
-                    idx_ref, w_ref, dy_ref, out_ref):
-    """One (level, batch-tile) step: accumulate all C corners' updates
-    into the level's (HI, 128·F) gradient block.
+def _scatter_kernel(cc: int, f: int, hi_n: int, n_passes: int,
+                    idx_ref, wdy_ref, out_ref):
+    """One (table-block, batch-tile) step: accumulate all CC slots'
+    updates into the block's per-feature (HI, 128) gradient planes.
 
-    idx_ref: (C, T) int32 LEVEL-LOCAL rows.   w_ref: (C, T) f32.
-    dy_ref:  (F, T) f32 output cotangent.     out_ref: (1, HI, N) f32.
+    idx_ref: (1, CC, T) int32 kernel-space rows.
+    wdy_ref: (1, P·CC·F, T) bf16 premultiplied w·dy value terms,
+             row (p·CC + s)·F + f = term_p(w_s · dy_{level(s), f}).
+    out_ref: (F, HI, 128) f32.
     """
     t_step = pl.program_id(1)
 
@@ -106,176 +138,195 @@ def _scatter_kernel(c: int, f: int, hi_n: int, n_passes: int,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n = _LO * f
     tt = idx_ref.shape[2]
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, tt), 0)
-    lo_of_n = iota_n // f
-    f_of_n = iota_n % f
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
 
-    # dy rows replicated to the (N, T) pattern: row n holds dy[n % F].
-    dpat = jnp.zeros((n, tt), jnp.float32)
-    for k in range(f):
-        dpat = jnp.where(f_of_n == k, dy_ref[0, k:k + 1, :], dpat)
-
-    acc = jnp.zeros((hi_n, n), jnp.float32)
-    for ci in range(c):
+    accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
+    for ci in range(cc):
         idx = idx_ref[0, ci:ci + 1, :]
         hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-        wd = w_ref[0, ci:ci + 1, :] * dpat         # (N, T) f32 values
-        lo_mask = lo_of_n == (idx % _LO)
-        for term in _split_bf16(wd, n_passes):
-            w_t = jnp.where(lo_mask, term, jnp.bfloat16(0))
-            acc = acc + jax.lax.dot_general(
-                hihot, w_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    out_ref[...] += acc[None]
+        lohot = iota_lo == (idx % _LO)
+        for fi in range(f):
+            for p in range(n_passes):
+                r = (p * cc + ci) * f + fi
+                w_t = jnp.where(lohot, wdy_ref[0, r:r + 1, :],
+                                jnp.bfloat16(0))
+                accs[fi] = accs[fi] + jax.lax.dot_general(
+                    hihot, w_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    out_ref[...] += jnp.stack(accs)
 
 
 def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
                           dcols: jax.Array, r_pad: int, f: int,
-                          c: int, value_dtype=jnp.float32) -> jax.Array:
-    """Scatter w·dcols into Lg per-level gradient blocks via MXU.
+                          c: int, value_dtype=jnp.float32,
+                          merged: bool = False) -> jax.Array:
+    """Scatter w·dcols into per-level gradient blocks via MXU.
 
     Args:
-      idx_local: (Lg·C, B) int32 level-LOCAL rows in [0, size_l).
+      idx_local: (Lg·C, B) int32 rows in KERNEL space — level-local in
+                 per-level mode, virtual-table rows in merged mode.
       w:         (Lg·C, B) f32 corner weights (same ordering).
       dcols:     (Lg·F, B) f32 SoA output cotangent.
-      r_pad:     common padded row count (multiple of 128) ≥ every
-                 level's size.
+      r_pad:     padded row count (multiple of 128) of each table
+                 block — per level (per-level mode) or of the single
+                 virtual table (merged mode).
       value_dtype: dtype whose precision the value operand should
                  carry (bf16 → single pass, f32 → two-term split).
 
-    Returns (Lg, r_pad, F) f32 per-level gradient tables (rows ≥ size_l
+    Returns (n_blocks, r_pad, F) f32 gradient blocks (n_blocks = Lg in
+    per-level mode, 1 in merged mode; rows past each level's extent
     are zero).  Deterministic.
     """
     lc, b = idx_local.shape
-    lg = lc // c
+    n_lvl = lc // c
+    lg, cc = (1, lc) if merged else (n_lvl, c)
     t = batch_tile(b)
     hi_n = r_pad // _LO
-    n = _LO * f
     n_passes = _value_passes(value_dtype)
     if t == 0:
         raise ValueError(f"batch {b} has no usable tile")
 
-    # 3-D operands (Lg, C, B) so each block covers the full (C,·) dims
-    # — Mosaic requires block dims to be 8/128-aligned OR equal to the
-    # whole array dimension, and C/F are small.
-    kernel = functools.partial(_scatter_kernel, c, f, hi_n, n_passes)
+    # Premultiplied value operand, built (and fused) by XLA: rows
+    # ordered (pass, slot, feature) as the kernel expects.
+    w4 = w.astype(jnp.float32).reshape(n_lvl, c, 1, b)
+    d4 = dcols.astype(jnp.float32).reshape(n_lvl, 1, f, b)
+    terms = _split_bf16(w4 * d4, n_passes)          # each (n_lvl,c,f,b)
+    wdy = jnp.stack(terms).reshape(n_passes, n_lvl * c * f, b)
+    if not merged:
+        wdy = wdy.reshape(n_passes, n_lvl, c * f, b).transpose(1, 0, 2, 3)
+    wdy = wdy.reshape(lg, n_passes * cc * f, b)
+
+    kernel = functools.partial(_scatter_kernel, cc, f, hi_n, n_passes)
     out = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
-            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
-            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
-            pl.BlockSpec((1, f, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, n_passes * cc * f, t), lambda l, tb: (l, 0, tb)),
         ],
-        out_specs=pl.BlockSpec((1, hi_n, n), lambda l, tb: (l, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((lg, hi_n, n), jnp.float32),
+        out_specs=pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
         interpret=interpret_mode(),
-    )(idx_local.astype(jnp.int32).reshape(lg, c, b),
-      w.astype(jnp.float32).reshape(lg, c, b),
-      dcols.astype(jnp.float32).reshape(lg, f, b))
-    # (Lg, HI, 128·F) -> (Lg, r_pad, F): row hi·128+lo, feature f lives
-    # at [hi, lo·F+f] — a pure reshape of the row-major layout.
-    return out.reshape(lg, r_pad, f)
+    )(idx_local.astype(jnp.int32).reshape(lg, cc, b), wdy)
+    # (lg·F, HI, 128) -> (lg, r_pad, F): row hi·128+lo of block l,
+    # feature f lives at [l·F+f, hi, lo].
+    return out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
+              .reshape(lg, r_pad, f)
 
 
 # ---------------------------------------------------------------------------
-# Gather + interpolate: cols[f, b] = Σ_c w_c(b) · table[idx_c(b), f]
+# Gather + interpolate: cols[l·F+f, b] = Σ_c w_c(b) · table_l[idx_c(b), f]
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel(c: int, f: int, hi_n: int, n_passes: int,
+def _gather_kernel(cc: int, f: int, c: int, hi_n: int, n_passes: int,
                    tab_ref, idx_ref, w_ref, out_ref):
-    """One (level, batch-tile) step: interpolated feature columns.
+    """One (table-block, batch-tile) step: interpolated feature columns
+    of the block's n_lvl = CC//C levels.
 
-    tab_ref: (1, P·N, HI) bf16 — P = n_passes value terms of the
-             level's table, transposed: tab[p·N + lo·F+f, hi] =
-             term_p(table[hi·128+lo, f]).
-    idx_ref: (1, C, T) int32 level-local rows.  w_ref: (1, C, T) f32.
-    out_ref: (1, F, T) f32 interpolated columns.
+    tab_ref: (1, P·F·128, HI) bf16 — row (p·F+f)·128 + lo holds
+             term_p(table[hi·128+lo, f]) across the HI lanes.
+    idx_ref: (1, CC, T) int32 kernel-space rows.  w_ref: (1, CC, T) f32.
+    out_ref: (1, n_lvl·F, T) f32 interpolated columns.
     """
-    n = _LO * f
     tt = idx_ref.shape[2]
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, tt), 0)
-    lo_of_n = iota_n // f
-    f_of_n = iota_n % f
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    n_lvl = cc // c
 
-    acc = jnp.zeros((f, tt), jnp.float32)
-    for ci in range(c):
-        idx = idx_ref[0, ci:ci + 1, :]
-        hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-        z = jnp.zeros((n, tt), jnp.float32)
-        for p in range(n_passes):
-            z = z + jax.lax.dot_general(
-                tab_ref[0, p * n:(p + 1) * n, :], hihot,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        sel = jnp.where(lo_of_n == (idx % _LO), z, 0.0)
-        w_c = w_ref[0, ci:ci + 1, :]
-        rows = []
-        for k in range(f):
-            rows.append(jnp.sum(jnp.where(f_of_n == k, sel, 0.0),
-                                axis=0, keepdims=True))
-        acc = acc + w_c * jnp.concatenate(rows, axis=0)
-    out_ref[...] = acc[None]
+    rows = []
+    for l in range(n_lvl):
+        accs = [jnp.zeros((1, tt), jnp.float32) for _ in range(f)]
+        for cj in range(c):
+            ci = l * c + cj
+            idx = idx_ref[0, ci:ci + 1, :]
+            hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
+            lohot = iota_lo == (idx % _LO)
+            w_c = w_ref[0, ci:ci + 1, :]
+            for fi in range(f):
+                z = jnp.zeros((_LO, tt), jnp.float32)
+                for p in range(n_passes):
+                    r = (p * f + fi) * _LO
+                    z = z + jax.lax.dot_general(
+                        tab_ref[0, r:r + _LO, :], hihot,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                y = jnp.sum(jnp.where(lohot, z, 0.0), axis=0,
+                            keepdims=True)
+                accs[fi] = accs[fi] + w_c * y
+        rows.extend(accs)
+    out_ref[...] = jnp.concatenate(rows, axis=0)[None]
 
 
 def pack_tables(flat: jax.Array, sizes: Sequence[int],
                 offsets: Sequence[int], f: int, r_pad: int,
-                value_dtype=jnp.float32) -> jax.Array:
-    """Level segments of a flat table -> the kernel's transposed
-    operand (Lg, P·128·F, HI) bf16.
+                value_dtype=jnp.float32,
+                merged: bool = False) -> jax.Array:
+    """Level segments of a flat table -> the gather kernel's transposed
+    operand (n_blocks, P·F·128, HI) bf16.
+
+    Per-level mode: one block per level, each padded to r_pad rows.
+    Merged mode: ONE block holding all levels' rows concatenated (the
+    virtual table), padded to r_pad.
 
     For f32 tables (P=2) the second term block carries the bf16
     rounding residual, recovering ~2^-17 relative accuracy from two
     bf16 matmuls."""
     n_passes = _value_passes(value_dtype)
     hi_n = r_pad // _LO
+    segs = [jax.lax.dynamic_slice_in_dim(flat, off * f, size * f)
+            for size, off in zip(sizes, offsets)]
+    if merged:
+        segs = [jnp.concatenate(segs)]
     mats = []
-    for size, off in zip(sizes, offsets):
-        seg = jax.lax.dynamic_slice_in_dim(flat, off * f, size * f)
-        seg = jnp.pad(seg.astype(jnp.float32), (0, (r_pad - size) * f))
-        m2 = seg.reshape(hi_n, _LO * f)
-        terms = _split_bf16(m2, n_passes)
-        mats.append(jnp.concatenate(
-            [tm for tm in terms], axis=1).T)   # (P·N, HI)
+    for seg in segs:
+        seg = jnp.pad(seg.astype(jnp.float32),
+                      (0, r_pad * f - seg.shape[0]))
+        m3 = seg.reshape(hi_n, _LO, f)
+        terms = _split_bf16(m3, n_passes)            # each (hi, lo, f)
+        t4 = jnp.stack(terms)                        # (P, hi, lo, f)
+        mats.append(t4.transpose(0, 3, 2, 1).reshape(
+            n_passes * f * _LO, hi_n))
     return jnp.stack(mats, axis=0)
 
 
-def _gather_levels_matmul_impl(tabT: jax.Array, idx_local: jax.Array,
+def _gather_levels_matmul_impl(tabT: jax.Array, idx_kernel: jax.Array,
                                w: jax.Array, f: int, c: int,
-                               n_passes: int) -> jax.Array:
+                               n_passes: int,
+                               merged: bool = False) -> jax.Array:
     """Fused gather + n-linear interpolation over Lg levels via MXU.
 
-    tabT: (Lg, P·128·F, HI) bf16 from :func:`pack_tables`.
-    idx_local: (Lg·C, B) int32 level-local rows; w: (Lg·C, B) f32.
+    tabT: (n_blocks, P·F·128, HI) bf16 from :func:`pack_tables`.
+    idx_kernel: (Lg·C, B) int32 kernel-space rows; w: (Lg·C, B) f32.
     Returns (Lg·F, B) f32 interpolated SoA feature columns.
     """
-    lc, b = idx_local.shape
-    lg = lc // c
+    lc, b = idx_kernel.shape
+    n_lvl = lc // c
+    lg, cc = (1, lc) if merged else (n_lvl, c)
     pn, hi_n = tabT.shape[1], tabT.shape[2]
     t = batch_tile(b)
     if t == 0:
         raise ValueError(f"batch {b} has no usable tile")
 
-    kernel = functools.partial(_gather_kernel, c, f, hi_n, n_passes)
+    kernel = functools.partial(_gather_kernel, cc, f, c, hi_n, n_passes)
     out = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
             pl.BlockSpec((1, pn, hi_n), lambda l, tb: (l, 0, 0)),
-            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
-            pl.BlockSpec((1, c, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
         ],
-        out_specs=pl.BlockSpec((1, f, t), lambda l, tb: (l, 0, tb)),
-        out_shape=jax.ShapeDtypeStruct((lg, f, b), jnp.float32),
+        out_specs=pl.BlockSpec((1, (cc // c) * f, t),
+                               lambda l, tb: (l, 0, tb)),
+        out_shape=jax.ShapeDtypeStruct((lg, (cc // c) * f, b),
+                                       jnp.float32),
         interpret=interpret_mode(),
-    )(tabT, idx_local.astype(jnp.int32).reshape(lg, c, b),
-      w.astype(jnp.float32).reshape(lg, c, b))
-    return out.reshape(lg * f, b)
+    )(tabT, idx_kernel.astype(jnp.int32).reshape(lg, cc, b),
+      w.astype(jnp.float32).reshape(lg, cc, b))
+    return out.reshape(n_lvl * f, b)
 
 
 # ---------------------------------------------------------------------------
@@ -292,12 +343,18 @@ def _dtype_of(s: str):
 
 
 def assemble_flat(blocks: jax.Array, sizes, offsets, f: int,
-                  n_flat: int) -> jax.Array:
-    """(Lg, r_pad, F) per-level blocks -> FLAT (n_flat,) table grads."""
+                  n_flat: int, merged: bool = False) -> jax.Array:
+    """Per-level gradient blocks -> FLAT (n_flat,) table grads.
+
+    blocks: (Lg, r_pad, F) in per-level mode; (1, r_pad, F) holding the
+    virtual table in merged mode."""
+    intra = _intra_offsets(sizes) if merged else None
     part = jnp.zeros((n_flat,), jnp.float32)
     for gi, (size, off) in enumerate(zip(sizes, offsets)):
+        src = (blocks[0, intra[gi]:intra[gi] + size] if merged
+               else blocks[gi, :size])
         part = jax.lax.dynamic_update_slice(
-            part, blocks[gi, :size].reshape(-1), (off * f,))
+            part, src.reshape(-1), (off * f,))
     return part
 
 
@@ -313,29 +370,28 @@ def _lazy_feats(flat, idx_local, offsets, f, c):
                       for l in range(lg)], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
-              sizes: Tuple[int, ...], offsets: Tuple[int, ...],
-              f: int, c: int, r_pad: int) -> jax.Array:
-    """Fused gather+interpolate of Lg levels from a flat table.
-
-    Returns (Lg·F, B) f32 columns; linear in ``flat``, bilinear with
-    ``w``.  Reverse-differentiable to any order.
-    """
-    tabT = pack_tables(flat, sizes, offsets, f, r_pad, flat.dtype)
-    return _gather_levels_matmul_impl(tabT, idx_local, w, f, c,
-                                      _value_passes(flat.dtype))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
+               sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+               f: int, c: int, r_pad: int, merged: bool) -> jax.Array:
+    tabT = pack_tables(flat, sizes, offsets, f, r_pad, flat.dtype, merged)
+    idx_v = _virtualize_idx(idx_local, sizes, c, merged)
+    return _gather_levels_matmul_impl(tabT, idx_v, w, f, c,
+                                      _value_passes(flat.dtype), merged)
 
 
-def _mm_gather_fwd(flat, idx_local, w, sizes, offsets, f, c, r_pad):
-    return (mm_gather(flat, idx_local, w, sizes, offsets, f, c, r_pad),
+def _mm_gather_fwd(flat, idx_local, w, sizes, offsets, f, c, r_pad,
+                   merged):
+    return (_mm_gather(flat, idx_local, w, sizes, offsets, f, c, r_pad,
+                       merged),
             (flat, idx_local, w))
 
 
-def _mm_gather_bwd(sizes, offsets, f, c, r_pad, res, ct):
+def _mm_gather_bwd(sizes, offsets, f, c, r_pad, merged, res, ct):
     flat, idx_local, w = res
     dflat = mm_scatter(idx_local, w, ct, sizes, offsets, f, c, r_pad,
-                       flat.shape[0], str(flat.dtype)).astype(flat.dtype)
+                       flat.shape[0], str(flat.dtype),
+                       merged).astype(flat.dtype)
     fr = _lazy_feats(flat, idx_local, offsets, f, c)
     lg = len(sizes)
     b = w.shape[1]
@@ -346,30 +402,45 @@ def _mm_gather_bwd(sizes, offsets, f, c, r_pad, res, ct):
     return dflat, None, dw.reshape(lg * c, b)
 
 
-mm_gather.defvjp(_mm_gather_fwd, _mm_gather_bwd)
+_mm_gather.defvjp(_mm_gather_fwd, _mm_gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
-               sizes: Tuple[int, ...], offsets: Tuple[int, ...],
-               f: int, c: int, r_pad: int, n_flat: int,
-               value_dtype_str: str) -> jax.Array:
-    """Deterministic MXU scatter of ``w·dcols`` -> FLAT (n_flat,) f32
-    table gradient (levels outside sizes/offsets untouched=0)."""
-    blocks = scatter_levels_matmul(idx_local, w, dcols, r_pad, f, c,
-                                   _dtype_of(value_dtype_str))
-    return assemble_flat(blocks, sizes, offsets, f, n_flat)
+def mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
+              sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+              f: int, c: int, r_pad: int,
+              merged: bool = False) -> jax.Array:
+    """Fused gather+interpolate of Lg levels from a flat table.
+
+    idx_local is LEVEL-local in both modes (merged-mode intra-class
+    offsets are added internally).  Returns (Lg·F, B) f32 columns;
+    linear in ``flat``, bilinear with ``w``.  Reverse-differentiable
+    to any order.
+    """
+    return _mm_gather(flat, idx_local, w, tuple(sizes), tuple(offsets),
+                      f, c, r_pad, bool(merged))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
+                sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+                f: int, c: int, r_pad: int, n_flat: int,
+                value_dtype_str: str, merged: bool) -> jax.Array:
+    idx_v = _virtualize_idx(idx_local, sizes, c, merged)
+    blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
+                                   _dtype_of(value_dtype_str), merged)
+    return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
 
 
 def _mm_scatter_fwd(idx_local, w, dcols, sizes, offsets, f, c, r_pad,
-                    n_flat, value_dtype_str):
-    return (mm_scatter(idx_local, w, dcols, sizes, offsets, f, c, r_pad,
-                       n_flat, value_dtype_str),
+                    n_flat, value_dtype_str, merged):
+    return (_mm_scatter(idx_local, w, dcols, sizes, offsets, f, c,
+                        r_pad, n_flat, value_dtype_str, merged),
             (idx_local, w, dcols))
 
 
 def _mm_scatter_bwd(sizes, offsets, f, c, r_pad, n_flat, value_dtype_str,
-                    res, ct_flat):
+                    merged, res, ct_flat):
     """VJP of the bilinear (w, dcols) ↦ scatter(w·dcols) map (second
     order only; first-order training never reaches this)."""
     idx_local, w, dcols = res
@@ -386,4 +457,17 @@ def _mm_scatter_bwd(sizes, offsets, f, c, r_pad, n_flat, value_dtype_str,
     return None, dw.reshape(lg * c, b), ddc
 
 
-mm_scatter.defvjp(_mm_scatter_fwd, _mm_scatter_bwd)
+_mm_scatter.defvjp(_mm_scatter_fwd, _mm_scatter_bwd)
+
+
+def mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
+               sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+               f: int, c: int, r_pad: int, n_flat: int,
+               value_dtype_str: str,
+               merged: bool = False) -> jax.Array:
+    """Deterministic MXU scatter of ``w·dcols`` -> FLAT (n_flat,) f32
+    table gradient (levels outside sizes/offsets untouched=0).
+    idx_local is LEVEL-local in both modes."""
+    return _mm_scatter(idx_local, w, dcols, tuple(sizes),
+                       tuple(offsets), f, c, r_pad, n_flat,
+                       value_dtype_str, bool(merged))

@@ -214,3 +214,88 @@ class TestKernelUnits:
         assert gm.batch_tile(1536) == 512
         assert gm.batch_tile(768) == 0   # largest pow2 divisor 256
         assert gm.batch_tile(100) == 0
+
+
+class TestMergedClasses:
+    """Merged mode: several small levels share ONE virtual table block
+    (concatenated rows) so they stop paying per-level 128-row MXU
+    padding."""
+
+    def _setup(self, rng, sizes, F=2, C=4, B=512):
+        Lg = len(sizes)
+        offsets = tuple(int(x) for x in
+                        np.concatenate([[7], 7 + np.cumsum(sizes)[:-1]]))
+        n_rows = 7 + sum(sizes) + 3
+        flat = jnp.asarray(rng.randn(n_rows * F).astype(np.float32))
+        idxl = jnp.asarray(np.concatenate(
+            [rng.randint(0, s, (C, B)) for s in sizes]).astype(np.int32))
+        w = jnp.asarray(rng.rand(Lg * C, B).astype(np.float32))
+        return flat, idxl, w, offsets, n_rows
+
+    def test_merged_gather_matches_per_level(self):
+        rng = np.random.RandomState(7)
+        sizes = (200, 130, 77)
+        flat, idxl, w, offsets, _ = self._setup(rng, sizes)
+        a = np.asarray(gm.mm_gather(flat, idxl, w, sizes, offsets,
+                                    2, 4, 512, merged=False))
+        b = np.asarray(gm.mm_gather(flat, idxl, w, sizes, offsets,
+                                    2, 4, 512, merged=True))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_merged_scatter_matches_per_level(self):
+        rng = np.random.RandomState(8)
+        sizes = (200, 130, 77)
+        flat, idxl, w, offsets, n_rows = self._setup(rng, sizes)
+        dc = jnp.asarray(rng.randn(3 * 2, 512).astype(np.float32))
+        a = np.asarray(gm.mm_scatter(idxl, w, dc, sizes, offsets, 2, 4,
+                                     512, n_rows * 2, "float32", False))
+        b = np.asarray(gm.mm_scatter(idxl, w, dc, sizes, offsets, 2, 4,
+                                     512, n_rows * 2, "float32", True))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_merged_grads_match(self):
+        rng = np.random.RandomState(9)
+        sizes = (100, 60)
+        flat, idxl, w, offsets, _ = self._setup(rng, sizes, B=512)
+
+        def loss(m):
+            def f(fl, w):
+                return jnp.sum(gm.mm_gather(fl, idxl, w, sizes, offsets,
+                                            2, 4, 256, merged=m) ** 2)
+            return jax.grad(f, (0, 1))(flat, w)
+
+        for a, b in zip(loss(False), loss(True)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_flagship_class_plan(self):
+        """config_hash geometry: small dense levels merge; mid levels
+        stop padding to the hash levels' 2^15 rows."""
+        spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
+        meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
+        mm, serial = grid_ops._route_levels((2, 4, meta), jnp.bfloat16,
+                                            1 << 18)
+        assert serial == []
+        classes = grid_ops._mm_classes(meta, mm)
+        merged = [cl for cl in classes if cl[2]]
+        assert len(merged) == 1 and len(merged[0][0]) >= 4
+        # no non-merged class pads a level by more than 1024 rows
+        for levels, r_pad, mg in classes:
+            if not mg:
+                assert max(meta[i][1] for i in levels) > r_pad - 1024
+
+    def test_grid_encode_parity_with_merged_classes(self):
+        """End-to-end grid_encode with a class plan that includes a
+        merged class must match the jnp path."""
+        spec = grid_ops.make_grid_spec(2, 6, 2, 11, 4, 2.0)
+        meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
+        mm, _ = grid_ops._route_levels((2, 4, meta), jnp.float32, 1024)
+        assert any(cl[2] for cl in grid_ops._mm_classes(meta, mm))
+        table = jax.random.normal(key(13), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(14), (1024, 2))
+        g_f = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2))(table)
+        g_s = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
