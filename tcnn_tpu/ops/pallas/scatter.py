@@ -20,7 +20,9 @@ other's transpose; both carry a ``jax.custom_vjp`` whose backward calls
 the other, so reverse-mode differentiation composes to any order
 (bwd-bwd through the grid encoding stays fast).  Forward-mode (jvp) of
 these ops is not defined — use reverse mode, as the reference's
-bindings do (modules.py:120-160).
+bindings do (modules.py:120-160), or route through the pure-jnp path
+(``grid_encode(..., fast_scatter=False)``), which supports jvp to any
+order (tests/test_grid.py::TestForwardMode).
 """
 
 from __future__ import annotations

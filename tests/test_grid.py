@@ -438,3 +438,65 @@ class TestPerElementMaxLevel:
         np.testing.assert_allclose(np.asarray(g_masked),
                                    np.asarray(g_manual),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestForwardMode:
+    """Forward-mode (jvp) differentiation through the reference jnp
+    path (``fast_scatter=False``).
+
+    The fast Pallas/matmul paths are reverse-only (like the reference
+    bindings, modules.py:120-160) — their custom_vjp wrappers reject
+    jvp by design.  The pure-jnp path has no custom rules, so XLA's
+    native forward mode works to any order; these tests pin that as a
+    supported (documented) capability beyond reference parity."""
+
+    def _setup(self):
+        spec = grid_ops.make_grid_spec(
+            2, 3, 2, 6, 4, 1.6, grid_type=GridType.HASH,
+            interpolation=InterpolationType.SMOOTHSTEP)
+        table = grid_ops.init_grid_params(key(0), spec).reshape(-1) * 1e4
+        x = jax.random.uniform(key(1), (8, 2))
+        return spec, table, x
+
+    def test_jacfwd_matches_jacrev_table(self):
+        spec, table, x = self._setup()
+        f = lambda t: grid_ops.grid_encode(spec, t, x, fast_scatter=False)
+        jf = jax.jacfwd(f)(table)
+        jr = jax.jacrev(f)(table)
+        np.testing.assert_allclose(np.asarray(jf), np.asarray(jr),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_jacfwd_matches_jacrev_input(self):
+        spec, table, x = self._setup()
+        f = lambda xx: grid_ops.grid_encode(spec, table, xx,
+                                            fast_scatter=False)
+        jf = jax.jacfwd(f)(x)
+        jr = jax.jacrev(f)(x)
+        np.testing.assert_allclose(np.asarray(jf), np.asarray(jr),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fwd_of_rev_second_order(self):
+        """Hessian via jacfwd∘grad == jacrev∘grad (forward-over-reverse
+        is the memory-cheap second-order composition)."""
+        spec, table, x = self._setup()
+        g = lambda xx: jnp.sum(grid_ops.grid_encode(
+            spec, table, xx, fast_scatter=False) ** 2)
+        h_fr = jax.jacfwd(jax.grad(g))(x)
+        h_rr = jax.jacrev(jax.grad(g))(x)
+        np.testing.assert_allclose(np.asarray(h_fr), np.asarray(h_rr),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_fast_path_rejects_jvp(self):
+        """The fast path stays reverse-only; the error is JAX's
+        standard custom_vjp message pointing at the escape hatch."""
+        spec, table, x = self._setup()
+        with pytest.raises(TypeError, match="custom_vjp"):
+            jax.jvp(lambda t: grid_ops.grid_encode(
+                spec, t, x, fast_scatter=True), (table,), (table,))
+
+    def test_check_grads_fwd_mode(self):
+        spec, table, x = self._setup()
+        f = lambda t, xx: jnp.sum(jnp.cos(grid_ops.grid_encode(
+            spec, t, xx, fast_scatter=False)))
+        check_grads(f, (table, x), order=2, modes=["fwd"],
+                    rtol=2e-2, atol=2e-2)
