@@ -217,7 +217,10 @@ def main():
     tflops = None
     probe_detail = None
     candidates = []  # (k_hi, slope_seconds, tflops)
-    for k_hi in (140, 260, 500, 900):
+    chain_lengths = (140, 260, 500, 900)
+    if os.environ.get("TCNN_BENCH_SKIP_TFLOPS"):
+        chain_lengths = ()  # CPU smoke runs: the 4096^3 chains take hours
+    for k_hi in chain_lengths:
         t_lo, t_hi = chain(20), chain(k_hi)
         cand = (k_hi - 20) * 2 * 4096 ** 3 / max(t_hi - t_lo, 1e-9) / 1e12
         # Physical sanity: nothing in this hardware family exceeds
