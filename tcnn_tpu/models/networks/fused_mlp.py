@@ -78,8 +78,11 @@ class FusedMLP(MLP):
     # the round-2 sweep measured plain XLA ahead for batches < 2^17.
     # Like the reference's network factory picking FullyFused vs
     # Cutlass by arch (src/network.cu:48-74), dispatch by batch size.
-    PALLAS_MIN_BATCH = int(os.environ.get("TCNN_TPU_FUSED_MIN_BATCH",
-                                          1 << 17))
+    @property
+    def PALLAS_MIN_BATCH(self):
+        # Read at call time, like every other TCNN_TPU_* knob (so
+        # monkeypatched env changes after import take effect).
+        return int(os.environ.get("TCNN_TPU_FUSED_MIN_BATCH", 1 << 17))
 
     def apply(self, params, x, input_soa: bool = False):
         batch = x.shape[1] if input_soa else x.shape[0]

@@ -126,6 +126,11 @@ def _main() -> None:
     # is on the measured path (per-host feeding is exercised separately
     # by shard_host_local_batch in tests).
     batch_s = dp.batch_sharding
+    # PRODUCTION lowering: the shard_map-wrapped per-shard step, so the
+    # Pallas kernels (fused MLP, grid matmul/scatter — default-on on
+    # TPU) each see a plain local batch; a bare jit+shardings step
+    # cannot partition pallas_call (see mesh.py docstring).
+    sm_step = dp.step_shard_map(trainer)
 
     def loop(state, key):
         def body(st, i):
@@ -135,7 +140,7 @@ def _main() -> None:
             t = jax.lax.with_sharding_constraint(
                 jax.random.uniform(jax.random.fold_in(k, 1),
                                    (args.batch, 3)), batch_s)
-            return trainer.step_fn()(st, x, t)
+            return sm_step(st, x, t)
 
         return jax.lax.scan(body, state, jnp.arange(args.chunk))
 

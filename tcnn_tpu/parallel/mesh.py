@@ -81,10 +81,11 @@ class DataParallel:
           compute path; XLA cannot partition pallas_call, so this
           lowering is only for kernel-free runs / comparison.
 
-        Output-perturbation training (perturbation_sigma) draws its
-        logistic noise with a batch-shaped key, which would differ
-        per-shard under shard_map — such trainers fall back to the jit
-        lowering to keep exact single-device parity.
+        Output-perturbation training (perturbation_sigma) runs under
+        shard_map too: each shard folds its ``axis_index`` into the
+        noise key, so shards draw independent logistic noise (same
+        distribution as single-device training, different stream —
+        without the salt every shard would repeat one noise pattern).
 
         The gradient all-reduce over ICI is the TPU replacement for the
         reference's side-stream wgrad overlap
@@ -95,21 +96,31 @@ class DataParallel:
         batch_s = self.batch_sharding
         n_batch_args = 3 if with_pdf else 2
         if use_shard_map is None:
-            use_shard_map = not trainer.perturbation_sigma
+            use_shard_map = True
         if not use_shard_map:
             return trainer.make_training_step(
                 with_pdf=with_pdf,
                 in_shardings=(state_s,) + (batch_s,) * n_batch_args,
                 out_shardings=(state_s, state_s),
             )
+        fn = self.step_shard_map(trainer, with_pdf=with_pdf)
+        return jax.jit(fn, donate_argnums=(0,))
 
+    def step_shard_map(self, trainer, with_pdf: bool = False):
+        """UNJITTED shard_map-wrapped step ``(state, x, target[, pdf])
+        -> (state, loss)`` — for callers composing their own jit/scan
+        around the data-parallel step (scaling bench, the multi-host
+        launcher, custom loops)."""
         from tcnn_tpu.trainer import TrainerState
 
         axis = self.axis_name
 
-        def per_shard(state, x, target, pdf):
+        def _per_shard(state, x, target, pdf):
+            salt = (jax.lax.axis_index(axis)
+                    if trainer.perturbation_sigma else None)
             loss_value, grads = trainer.loss_value_and_grads(
-                state.params, x, target, pdf, step=state.step)
+                state.params, x, target, pdf, step=state.step,
+                noise_key_salt=salt)
             # Per-shard losses are means over the local batch; equal
             # shard sizes make pmean the exact global mean.  Gradients
             # of a mean likewise combine by pmean.
@@ -119,30 +130,6 @@ class DataParallel:
                 state.opt_state, grads, state.params)
             return (TrainerState(params=params, opt_state=opt_state,
                                  step=state.step + 1), loss_value)
-
-        fn = self.step_shard_map(trainer, with_pdf=with_pdf,
-                                 _per_shard=per_shard)
-        return jax.jit(fn, donate_argnums=(0,))
-
-    def step_shard_map(self, trainer, with_pdf: bool = False,
-                       _per_shard=None):
-        """UNJITTED shard_map-wrapped step ``(state, x, target[, pdf])
-        -> (state, loss)`` — for callers composing their own jit/scan
-        around the data-parallel step (scaling bench, custom loops)."""
-        if _per_shard is None:
-            axis = self.axis_name
-
-            def _per_shard(state, x, target, pdf):
-                from tcnn_tpu.trainer import TrainerState
-
-                loss_value, grads = trainer.loss_value_and_grads(
-                    state.params, x, target, pdf, step=state.step)
-                loss_value = jax.lax.pmean(loss_value, axis)
-                grads = jax.lax.pmean(grads, axis)
-                opt_state, params = trainer.optimizer.step(
-                    state.opt_state, grads, state.params)
-                return (TrainerState(params=params, opt_state=opt_state,
-                                     step=state.step + 1), loss_value)
 
         P_b, P_r = P(self.axis_name), P()
         if with_pdf:

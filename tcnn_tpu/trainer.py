@@ -89,12 +89,20 @@ class Trainer:
         return self.model.n_params(state.params)
 
     # -- core step ----------------------------------------------------
-    def loss_value_and_grads(self, params, x, target, pdf=None, step=None):
+    def loss_value_and_grads(self, params, x, target, pdf=None, step=None,
+                             noise_key_salt=None):
+        """``noise_key_salt``: optional extra value folded into the
+        perturbation-noise key — under shard_map data parallelism each
+        shard passes its ``axis_index`` so shards draw independent
+        noise (same key + local batch shape would otherwise repeat one
+        noise pattern on every shard)."""
         def scalar_loss(p):
             pred = self.model.apply(p, x).astype(jnp.float32)
             if self.perturbation_sigma and step is not None:
                 key = jax.random.fold_in(jax.random.key(self.seed ^ 0x5eed),
                                          step)
+                if noise_key_salt is not None:
+                    key = jax.random.fold_in(key, noise_key_salt)
                 noise = jax.random.logistic(key, pred.shape, jnp.float32)
                 pred = pred + self.perturbation_sigma * noise
             return self.loss(pred, target, pdf)

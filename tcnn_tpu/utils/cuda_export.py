@@ -36,19 +36,26 @@ from .cuda_import import _ref_matrix_dims
 from ..common import next_multiple
 
 
-def _export_matrix(ours: np.ndarray, ref_shape) -> np.ndarray:
+def _export_matrix(ours: np.ndarray, ref_shape,
+                   dtype=np.float32) -> np.ndarray:
     """Our (in, out) matrix → reference RM (out_pad, in_pad) flat, with
     zero padding."""
     rows, cols = ref_shape
-    ours = np.asarray(ours, np.float32)
+    ours = np.asarray(ours, dtype)
     in_dim, out_dim = ours.shape
-    m = np.zeros((rows, cols), np.float32)
+    m = np.zeros((rows, cols), dtype)
     m[:out_dim, :in_dim] = ours.T
     return m.reshape(-1)
 
 
-def _flatten_reference_layout(model, tree) -> np.ndarray:
-    """Param-shaped pytree → reference-layout flat f32 buffer."""
+def _flatten_reference_layout(model, tree,
+                              dtype=np.float32) -> np.ndarray:
+    """Param-shaped pytree → reference-layout flat buffer.
+
+    ``dtype`` must stay exact for the tree's values — integer state
+    (Adam ``param_steps`` u32 counters) is flattened with
+    ``dtype=np.uint32`` so counters above 2^24 survive (an f32 pass
+    would round them)."""
     network = getattr(model, "network", model)
     encoding = getattr(model, "encoding", None)
     if encoding is not None:
@@ -57,12 +64,12 @@ def _flatten_reference_layout(model, tree) -> np.ndarray:
     else:
         net_tree, enc_tree = tree, None
     dims = _ref_matrix_dims(network)
-    mats = [_export_matrix(np.asarray(m, np.float32), rd)
+    mats = [_export_matrix(np.asarray(m, dtype), rd, dtype)
             for m, rd in zip(net_tree["layers"], dims)]
     parts = mats
     if enc_tree is not None:
-        parts = mats + [np.asarray(enc_tree["grid"], np.float32).reshape(-1)]
-    return np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+        parts = mats + [np.asarray(enc_tree["grid"], dtype).reshape(-1)]
+    return np.concatenate(parts) if parts else np.zeros((0,), dtype)
 
 
 def export_snapshot(trainer, state, serialize_optimizer: bool = False,
@@ -100,7 +107,8 @@ def export_snapshot(trainer, state, serialize_optimizer: bool = False,
             "second_moments_binary": nu.astype("<f4").tobytes(),
         }
         if "param_steps" in os_:
-            ps = _flatten_reference_layout(trainer.model, os_["param_steps"])
+            ps = _flatten_reference_layout(trainer.model, os_["param_steps"],
+                                           dtype=np.uint32)
             opt["param_steps_binary"] = ps.astype("<u4").tobytes()
         data["optimizer"] = opt
     return data

@@ -117,3 +117,28 @@ class TestExportRoundtrip:
         assert raw["params_type"] == "float"
         assert isinstance(raw["params_binary"], dict)
         assert raw["params_binary"].get("subtype", "x") is None
+
+
+class TestLargeStepCounters:
+    def test_param_steps_above_2pow24_exact(self, tmp_path):
+        """u32 step counters must survive export bit-exactly — an f32
+        intermediate would round 2^24+1 to 2^24 (long-training resume
+        would then debias with wrong per-param steps)."""
+        model = _model()
+        state = _trained_state(model)
+        big = jax.tree_util.tree_map(
+            lambda s: jnp.full_like(s, np.uint32((1 << 24) + 1)),
+            state.opt_state["param_steps"])
+        state.opt_state["param_steps"] = big
+        data = cuda_export.export_snapshot(model.trainer, state,
+                                           serialize_optimizer=True)
+        ps = np.frombuffer(data["optimizer"]["param_steps_binary"],
+                           dtype="<u4")
+        assert (ps[ps != 0] == (1 << 24) + 1).all()
+        path = tmp_path / "snap.json"
+        cuda_export.save_snapshot(path, data, form="json")
+        state2 = cuda_import.import_trainer_state(model.trainer, str(path))
+        for leaf in jax.tree_util.tree_leaves(
+                state2.opt_state["param_steps"]):
+            arr = np.asarray(leaf)
+            assert (arr[arr != 0] == (1 << 24) + 1).all()

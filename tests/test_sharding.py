@@ -138,3 +138,65 @@ class TestShardMapWithKernels:
         np.testing.assert_allclose(np.asarray(y, np.float32),
                                    np.asarray(y_ref, np.float32),
                                    rtol=2e-2, atol=2e-3)
+
+
+class TestPerturbationUnderShardMap:
+    def test_perturbed_step_runs_and_dithers(self):
+        """perturbation_sigma trainers run under the shard_map lowering
+        (each shard salts the noise key with its axis_index — without
+        the salt every shard would repeat one noise pattern; with the
+        old jit fallback the Pallas kernels could not partition at
+        all).  The perturbed loss must differ from the unperturbed one
+        and training must stay finite."""
+        model = tcnn.create_from_config(2, 3, config())
+        model.trainer.perturbation_sigma = 0.1
+        ref = tcnn.create_from_config(2, 3, config())
+
+        dp = DataParallel()
+        step = dp.make_training_step(model.trainer)
+        step_ref = dp.make_training_step(ref.trainer)
+        state = dp.replicate(model.trainer.initial_state())
+        state_ref = dp.replicate(ref.trainer.initial_state())
+
+        key = jax.random.key(3)
+        x = dp.shard_batch(jax.random.uniform(
+            jax.random.fold_in(key, 0), (8 * 64, 2)))
+        t = dp.shard_batch(jax.random.uniform(
+            jax.random.fold_in(key, 1), (8 * 64, 3)))
+        state, loss_p = step(state, x, t)
+        state_ref, loss_r = step_ref(state_ref, x, t)
+        assert np.isfinite(float(loss_p))
+        # Same init + same data: only the injected noise separates them.
+        assert abs(float(loss_p) - float(loss_r)) > 1e-6
+
+    def test_shard_noise_streams_differ(self):
+        """The axis_index salt must give each shard its own noise: the
+        per-shard losses of identical per-shard data must differ."""
+        from jax.sharding import PartitionSpec as P
+
+        model = tcnn.create_from_config(2, 3, config())
+        tr = model.trainer
+        tr.perturbation_sigma = 0.5
+        dp = DataParallel()
+        n = dp.n_devices
+        state = tr.initial_state()
+
+        x1 = jax.random.uniform(jax.random.key(5), (64, 2))
+        t1 = jax.random.uniform(jax.random.key(6), (64, 3))
+        # Identical data on every shard; per-shard (pre-pmean) losses
+        # must still differ because each shard salts with axis_index.
+        def local_loss(state, x, target):
+            salt = jax.lax.axis_index(dp.axis_name)
+            loss, _ = tr.loss_value_and_grads(
+                state.params, x, target, None, step=state.step,
+                noise_key_salt=salt)
+            return loss.reshape(1)
+
+        f = jax.jit(jax.shard_map(
+            local_loss, mesh=dp.mesh,
+            in_specs=(P(), P(dp.axis_name), P(dp.axis_name)),
+            out_specs=P(dp.axis_name), check_vma=False))
+        x_rep = jnp.tile(x1, (n, 1))
+        t_rep = jnp.tile(t1, (n, 1))
+        per_shard = np.asarray(f(dp.replicate(state), x_rep, t_rep))
+        assert len(np.unique(per_shard)) > 1, per_shard
