@@ -200,3 +200,25 @@ class TestPerturbationUnderShardMap:
         t_rep = jnp.tile(t1, (n, 1))
         per_shard = np.asarray(f(dp.replicate(state), x_rep, t_rep))
         assert len(np.unique(per_shard)) > 1, per_shard
+
+
+class TestJitShardingsLowering:
+    def test_jit_lowering_matches_shard_map(self):
+        """use_shard_map=False (plain jit + shardings, the kernel-free
+        comparison lowering) must produce the same loss curve as the
+        production shard_map lowering on the XLA compute path."""
+        model_a = tcnn.create_from_config(2, 3, config())
+        model_b = tcnn.create_from_config(2, 3, config())
+        dp = DataParallel()
+        step_a = dp.make_training_step(model_a.trainer, use_shard_map=True)
+        step_b = dp.make_training_step(model_b.trainer, use_shard_map=False)
+        state_a = dp.replicate(model_a.trainer.initial_state())
+        state_b = dp.replicate(model_b.trainer.initial_state())
+        key = jax.random.key(7)
+        for i in range(3):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            x = dp.shard_batch(jax.random.uniform(k1, (8 * 64, 2)))
+            t = dp.shard_batch(jax.random.uniform(k2, (8 * 64, 3)))
+            state_a, la = step_a(state_a, x, t)
+            state_b, lb = step_b(state_b, x, t)
+            np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
