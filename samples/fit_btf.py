@@ -78,11 +78,13 @@ def main(argv):
         x = jax.random.uniform(key, (batch, 6))
         return x, synthetic_btf(x)
 
-    chunk = 50
+    chunk = min(50, n_steps)
+    n_loops = max(n_steps // chunk, 1)
+    n_steps = n_loops * chunk            # actual steps run
     loop = model.trainer.make_training_loop(sample_fn, chunk)
     key = jax.random.key(0)
     t0 = time.perf_counter()
-    for i in range(max(n_steps // chunk, 1)):
+    for i in range(n_loops):
         state, losses = loop(state, jax.random.fold_in(key, i))
         if i % 4 == 0:
             jax.block_until_ready(losses)

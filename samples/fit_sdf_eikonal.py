@@ -11,7 +11,7 @@ backward-backward through the grid encoding.  Smoothstep interpolation
 makes ∇x f continuous (the reference requires the same,
 test_grid_bwdbwd.py config).
 
-Usage: python samples/fit_sdf_eikonal.py [n_steps]
+Usage: python samples/fit_sdf_eikonal.py [n_steps] [batch_pow]
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ def true_sdf(x):
 
 def main(argv):
     n_steps = int(argv[1]) if len(argv) > 1 else 500
-    batch = 1 << 14
+    batch = 1 << (int(argv[2]) if len(argv) > 2 else 14)
 
     model = tcnn.create_from_config(3, 1, CONFIG, policy=tcnn.Policy())
     net = model.network
@@ -75,7 +75,10 @@ def main(argv):
         # Eikonal: |∇x f| == 1 on volume samples (second order w.r.t.
         # params through the input gradient).
         x_vol = jax.random.uniform(k2, (batch, 3), minval=0.05, maxval=0.95)
-        grad_x = jax.vmap(jax.grad(lambda xx: f(p, xx[None, :])[0]))(x_vol)
+        # Per-sample input gradients via one reverse pass: f is
+        # sample-wise, so ∇x Σ_b f(x_b) rows ARE the per-sample ∇x f
+        # (batched equivalent of vmap(grad), ~B× cheaper to compile).
+        grad_x = jax.grad(lambda xx: jnp.sum(f(p, xx)))(x_vol)
         grad_norm = jnp.sqrt(jnp.sum(grad_x * grad_x, axis=-1) + 1e-12)
         eik_loss = jnp.mean((grad_norm - 1.0) ** 2)
         return surf_loss + 0.1 * eik_loss, (surf_loss, eik_loss)
