@@ -166,6 +166,67 @@ def main(which):
         slope(lambda K: scan_over(body, K, jnp.float32(0)), ks=(2, 6),
               label=f"sort+segment scatter m={m}")
 
+    if which == "profile":
+        # Decompose the flagship step: index/weight build, grid fwd,
+        # grid fwd+bwd, MLP fwd+bwd, Adam, loss+grad, full step.  Each
+        # stage via the same scan-slope protocol; differences between
+        # consecutive rows localize the cost.
+        from tcnn_tpu.models.networks.fused_mlp import FusedMLP
+
+        sp = spec_prime
+        live = list(range(sp.n_levels))
+
+        def body_idx(c, key):
+            x = jax.random.uniform(key, (B, 2))
+            idx, ws, _ = grid_ops._build_indices_weights(sp, x, live)
+            return c + jnp.sum(idx[0, :1].astype(jnp.float32)) + ws[0, 0]
+
+        slope(lambda K: scan_over(body_idx, K, jnp.float32(0)),
+              label="idx+weights build")
+
+        net = FusedMLP(32, 3, n_neurons=64, n_hidden_layers=2,
+                       policy=tcnn.BF16_POLICY)
+        mlp_params = net.init(jax.random.key(2))
+        xm = jax.random.normal(jax.random.key(5), (B, 32))
+
+        def body_mlp(c, key):
+            xk = xm + c                      # genuine carry dependency
+
+            def loss(p):
+                return jnp.sum(net.apply(p, xk).astype(jnp.float32))
+
+            g = jax.grad(loss)(mlp_params)
+            return c + 0.0 * g["layers"][0].astype(jnp.float32).ravel()[0]
+
+        slope(lambda K: scan_over(body_mlp, K, jnp.float32(0)),
+              label="MLP fwd+bwd (B,32)->3")
+
+        model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
+                                        policy=tcnn.BF16_POLICY)
+        tr = model.trainer
+        state = tr.initial_state()
+        t = jax.random.uniform(jax.random.key(1), (B, 3))
+
+        def body_loss(c, key):
+            x = jax.random.uniform(key, (B, 2))
+            loss, grads = tr.loss_value_and_grads(state.params, x, t,
+                                                  None, step=state.step)
+            return c + loss
+
+        slope(lambda K: scan_over(body_loss, K, jnp.float32(0)),
+              label="loss+grads (no opt)")
+
+        step_fn = tr.step_fn()
+
+        def body_step(st, key):
+            x = jax.random.uniform(key, (B, 2))
+            st, _ = step_fn(st, x, t)
+            return st
+
+        slope(lambda K: scan_over(body_step, K, state),
+              label=f"full step B={B}")
+        return
+
     if which in ("step", "all"):
         model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
                                         policy=tcnn.BF16_POLICY)
