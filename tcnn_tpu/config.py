@@ -43,8 +43,9 @@ def load_config(path_or_json: Union[str, Dict[str, Any]]) -> Dict[str, Any]:
 
 def create_encoding(n_input_dims: int, cfg: Dict[str, Any],
                     policy: Optional[Policy] = None) -> Encoding:
-    """≈ create_encoding<T> (src/encoding.cu:132-159)."""
-    otype = cfg.get("otype", "Identity")
+    """≈ create_encoding<T> (src/encoding.cu:132-159); the reference
+    defaults a missing otype to OneBlob (encoding.cu:133)."""
+    otype = cfg.get("otype", "OneBlob")
     return _encodings.create(otype, n_input_dims, cfg, policy=policy)
 
 

@@ -109,8 +109,10 @@ class FusedMLP(MLP):
         return self.apply(params, x, input_soa=input_soa)
 
 
+# "MegakernelMLP" is the reference's legacy alias for the fully fused
+# network (src/network.cu:50 treats the two otypes identically).
 register_network(
-    "FullyFusedMLP",
+    ["FullyFusedMLP", "MegakernelMLP"],
     lambda cfg, n_in, n_out, policy=None: FusedMLP(
         n_input_dims=n_in,
         n_output_dims=n_out,
