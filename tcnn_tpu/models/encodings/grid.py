@@ -13,6 +13,7 @@ grid.h:1174-1180).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -133,14 +134,32 @@ class GridEncoding(Encoding):
 
 def _make_grid(n_dims: int, cfg: Dict[str, Any], default_type: str = "Hash",
                policy: Optional[Policy] = None) -> GridEncoding:
+    grid_type = GridType.from_string(cfg.get("type", default_type))
+    f = cfg.get("n_features_per_level", 2)
+    # "n_features"/"n_grid_features": TOTAL feature count determining
+    # n_levels (grid.h:1150-1157); exclusive with "n_levels".
+    if "n_features" in cfg or "n_grid_features" in cfg:
+        if "n_levels" in cfg:
+            raise ValueError(
+                "GridEncoding: may not specify n_features and n_levels "
+                "simultaneously (one determines the other)")
+        n_levels = cfg.get("n_features", cfg.get("n_grid_features")) // f
+    else:
+        n_levels = cfg.get("n_levels", 16)
+    base_resolution = cfg.get("base_resolution", 16)
+    # Dense grids default to a scale spanning base->256 over the levels
+    # (grid.h:1167); everything else defaults to 2.
+    default_scale = (math.exp(math.log(256.0 / base_resolution)
+                              / max(n_levels - 1, 1))
+                     if grid_type == GridType.DENSE else 2.0)
     return GridEncoding(
         n_dims_to_encode=n_dims,
-        n_levels=cfg.get("n_levels", 16),
-        n_features_per_level=cfg.get("n_features_per_level", 2),
+        n_levels=n_levels,
+        n_features_per_level=f,
         log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
-        base_resolution=cfg.get("base_resolution", 16),
-        per_level_scale=cfg.get("per_level_scale", 2.0),
-        grid_type=GridType.from_string(cfg.get("type", default_type)),
+        base_resolution=base_resolution,
+        per_level_scale=cfg.get("per_level_scale", default_scale),
+        grid_type=grid_type,
         hash_type=HashType.from_string(cfg.get("hash", "CoherentPrime")),
         interpolation=InterpolationType.from_string(
             cfg.get("interpolation", "Linear")),

@@ -500,3 +500,33 @@ class TestForwardMode:
             spec, t, xx, fast_scatter=False)))
         check_grads(f, (table, x), order=2, modes=["fwd"],
                     rtol=2e-2, atol=2e-2)
+
+
+class TestGridFactoryParity:
+    """Config-factory behaviors of grid.h:1145-1205."""
+
+    def test_n_features_determines_n_levels(self):
+        enc = tcnn.create_encoding(2, {"otype": "HashGrid",
+                                       "n_features": 24,
+                                       "n_features_per_level": 2})
+        assert enc.spec.n_levels == 12
+        enc = tcnn.create_encoding(2, {"otype": "HashGrid",
+                                       "n_grid_features": 16})
+        assert enc.spec.n_levels == 8
+
+    def test_n_features_and_n_levels_conflict(self):
+        with pytest.raises(ValueError, match="n_features and n_levels"):
+            tcnn.create_encoding(2, {"otype": "HashGrid",
+                                     "n_features": 24, "n_levels": 12})
+
+    def test_dense_default_per_level_scale(self):
+        # Dense default: exp(log(256/base)/(n_levels-1)) (grid.h:1167).
+        import math
+        enc = tcnn.create_encoding(2, {"otype": "DenseGrid",
+                                       "n_levels": 5,
+                                       "base_resolution": 16})
+        expected = math.exp(math.log(256.0 / 16.0) / 4)
+        assert abs(enc.per_level_scale - expected) < 1e-6
+        # Hash grids keep the flat 2.0 default.
+        enc = tcnn.create_encoding(2, {"otype": "HashGrid"})
+        assert enc.per_level_scale == 2.0
