@@ -189,3 +189,16 @@ if TORCH_AVAILABLE:
 
             super().__init__(create_encoding(n_input_dims, encoding_config),
                              seed=seed)
+
+
+def free_temporary_memory():
+    """API analog of tinycudann.free_temporary_memory (modules.py:77-81).
+
+    The reference frees its CUDA memory arena; here the equivalents are
+    XLA's live-buffer pool and jit caches.  Collects Python garbage
+    (dropping references to device buffers) and clears JAX's compiled-
+    computation caches so the backend can release the memory."""
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
