@@ -71,7 +71,15 @@ from jax.experimental import pallas as pl
 from . import interpret_mode
 
 _LO = 128          # lanes of the one-hot "lo" factor (idx = hi*_LO + lo)
-_DEF_TILE = 4096   # updates per grid step (per slot)
+
+
+def _def_tile() -> int:
+    """Updates per grid step (per slot); env-tunable for on-chip A/B
+    (larger tiles amortize one-hot builds over more MXU work but raise
+    VMEM pressure)."""
+    import os
+
+    return int(os.environ.get("TCNN_TPU_MM_TILE", 4096))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,10 +87,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def batch_tile(b: int) -> int:
-    """Largest power-of-two tile ≤ _DEF_TILE dividing b; 0 = no tile
-    (caller falls back to an XLA path)."""
+    """Largest power-of-two tile ≤ the tile budget dividing b; 0 = no
+    tile (caller falls back to an XLA path)."""
     p2 = b & (-b)
-    t = min(_DEF_TILE, p2)
+    t = min(_def_tile(), p2)
     return t if t >= 512 else 0
 
 

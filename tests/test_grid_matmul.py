@@ -209,7 +209,8 @@ class TestKernelUnits:
         np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_f),
                                    rtol=1e-2, atol=1e-2)
 
-    def test_batch_tile_rules(self):
+    def test_batch_tile_rules(self, monkeypatch):
+        monkeypatch.delenv("TCNN_TPU_MM_TILE", raising=False)
         assert gm.batch_tile(2 ** 18) == 4096
         assert gm.batch_tile(1536) == 512
         assert gm.batch_tile(768) == 0   # largest pow2 divisor 256
