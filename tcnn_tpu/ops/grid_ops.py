@@ -536,6 +536,24 @@ def _mm_classes(lv_meta, positions):
     return out
 
 
+def _mm_class_plan(lv_meta, positions):
+    """_mm_classes plus pair-packing: when TCNN_TPU_MM_PAIRED is set,
+    levels with dim-0-adjacent corner rows (lv_meta paired flag) are
+    classed separately and dispatched to the pair-packed kernels.
+    Yields (levels, r_pad, merged, paired)."""
+    from .pallas.grid_matmul import paired_mm_enabled
+
+    if not paired_mm_enabled():
+        for levels, r_pad, mg in _mm_classes(lv_meta, positions):
+            yield levels, r_pad, mg, False
+        return
+    pos_p = [i for i in positions if lv_meta[i][0]]
+    pos_u = [i for i in positions if not lv_meta[i][0]]
+    for pos, pr in ((pos_p, True), (pos_u, False)):
+        for levels, r_pad, mg in _mm_classes(lv_meta, pos):
+            yield levels, r_pad, mg, pr
+
+
 def _sel_rows(arr, levels):
     """Level-row selection — a free slice for the (universal in
     practice) contiguous case, gather otherwise."""
@@ -568,13 +586,13 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
     idx3 = idx.reshape(n_lvl, c, b)
     ws3 = ws.reshape(n_lvl, c, b)
     pieces = {}
-    for levels, r_pad, mg in _mm_classes(lv_meta, mm):
+    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         cols_g = gm.mm_gather(
             flat, idx_local, w_g,
             tuple(lv_meta[i][1] for i in levels),
-            tuple(lv_meta[i][2] for i in levels), f, c, r_pad, mg)
+            tuple(lv_meta[i][2] for i in levels), f, c, r_pad, mg, pr)
         for gi, i in enumerate(levels):
             pieces[i] = cols_g[gi * f:(gi + 1) * f]
     if serial:
@@ -650,7 +668,7 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     unpaired = [i for i in serial if not lv_meta[i][0]]
 
     dflat = None
-    for levels, r_pad, mg in _mm_classes(lv_meta, mm):
+    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         dc_g = _sel_rows(dc3, levels).reshape(-1, b)
@@ -658,7 +676,7 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
             idx_local, w_g, dc_g,
             tuple(lv_meta[i][1] for i in levels),
             tuple(lv_meta[i][2] for i in levels), f, c, r_pad,
-            n_flat, str(flat.dtype), mg)
+            n_flat, str(flat.dtype), mg, pr)
         dflat = part if dflat is None else dflat + part
     if unpaired:
         part = scatter_add_weighted(

@@ -225,6 +225,150 @@ def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Pair-packed scatter (dense/tiled strides or HashType.CoherentAdd):
+# both dim-0 corners of a pair land on table rows (r, r+1), so ONE
+# one-hot contraction per PAIR serves both — the odd corner's value
+# rides the lane lo+1 of the same value column.  Lane wraps (lo == 127,
+# odd row in the NEXT hi block) accumulate into a per-block carry plane
+# folded outside the kernel; level wraps (odd row == level's last + 1
+# ≡ level's first, grid.h hash % size) are zero-weighted in-kernel and
+# corrected outside, mirroring the serial pair kernels.  Cuts the MXU
+# work ~25% (main dots halve; +1 carry dot per pair) and the one-hot
+# builds ~2× vs the unpaired kernels.
+# ---------------------------------------------------------------------------
+
+
+def paired_mm_enabled() -> bool:
+    """Opt-in until measured on hardware (TCNN_TPU_MM_PAIRED=1)."""
+    import os
+
+    return bool(os.environ.get("TCNN_TPU_MM_PAIRED"))
+
+
+def _scatter_kernel_paired(ccp: int, f: int, hi_n: int, n_passes: int,
+                           idx_ref, wdy_ref, out_ref, carry_ref):
+    """One (table-block, batch-tile) step over CCP corner-PAIR slots.
+
+    idx_ref: (1, CCP, T) int32 kernel-space EVEN-corner rows.
+    wdy_ref: (1, P·CCP·F·2, T) bf16 value terms, row
+             ((p·CCP + s)·F + f)·2 + eo (eo: 0 even / 1 odd corner;
+             odd weights pre-zeroed at level-wrap rows).
+    out_ref: (F, HI, 128) f32 main gradient planes.
+    carry_ref: (1, HI, 128) f32; column p·F + f holds the lane-wrap
+               mass destined for row (hi+1)·128 (folded by the caller).
+    """
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    tt = idx_ref.shape[2]
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+
+    accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
+    acc_c = jnp.zeros((hi_n, _LO), jnp.float32)
+    for ci in range(ccp):
+        idx = idx_ref[0, ci:ci + 1, :]
+        hi = idx // _LO
+        lo = idx % _LO
+        hihot = (iota_hi == hi).astype(jnp.bfloat16)
+        lo_e = iota_lo == lo
+        lo_o = iota_lo == lo + 1          # no lane matches when lo==127
+        wrap = lo == _LO - 1
+        wc_rows = []
+        for p in range(n_passes):
+            for fi in range(f):
+                r = ((p * ccp + ci) * f + fi) * 2
+                re = wdy_ref[0, r:r + 1, :]
+                ro = wdy_ref[0, r + 1:r + 2, :]
+                w_t = (jnp.where(lo_e, re, jnp.bfloat16(0))
+                       + jnp.where(lo_o, ro, jnp.bfloat16(0)))
+                accs[fi] = accs[fi] + jax.lax.dot_general(
+                    hihot, w_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                wc_rows.append(jnp.where(wrap, ro, jnp.bfloat16(0)))
+        # One stacked carry contraction per pair: rows p·F+f of the
+        # (128, T) value hold the wrapped odd mass.
+        wc = jnp.concatenate(
+            wc_rows + [jnp.zeros((_LO - len(wc_rows), tt), jnp.bfloat16)],
+            axis=0)
+        acc_c = acc_c + jax.lax.dot_general(
+            hihot, wc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[...] += jnp.stack(accs)
+    carry_ref[...] += acc_c[None]
+
+
+def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
+                                 w_o: jax.Array, dcols: jax.Array,
+                                 r_pad: int, f: int, c: int,
+                                 value_dtype=jnp.float32,
+                                 merged: bool = False):
+    """Pair-packed MXU scatter.
+
+    Args:
+      idx_e: (Lg·C/2, B) int32 EVEN-corner rows in KERNEL space (the
+             odd corner is implicitly idx_e+1; level wraps must already
+             be zero-weighted in w_o).
+      w_e/w_o: (Lg·C/2, B) f32 corner weights.
+      dcols: (Lg·F, B) f32 SoA output cotangent.
+
+    Returns (blocks, carry): blocks (n_blocks, r_pad, F) f32 as the
+    unpaired kernel; carry (n_blocks, r_pad//128, F) f32 lane-wrap mass
+    destined for rows (hi+1)·128 (top row always zero).
+    """
+    lcp, b = idx_e.shape
+    n_lvl = lcp // (c // 2)
+    lg, ccp = (1, lcp) if merged else (n_lvl, c // 2)
+    t = batch_tile(b)
+    hi_n = r_pad // _LO
+    n_passes = _value_passes(value_dtype)
+    if t == 0:
+        raise ValueError(f"batch {b} has no usable tile")
+
+    cp = c // 2
+    w5 = jnp.stack([w_e.astype(jnp.float32), w_o.astype(jnp.float32)],
+                   axis=1).reshape(n_lvl, cp, 2, 1, b)
+    d5 = dcols.astype(jnp.float32).reshape(n_lvl, 1, 1, f, b)
+    prod = (w5 * d5).transpose(0, 1, 3, 2, 4)   # (n_lvl, cp, f, 2, b)
+    terms = _split_bf16(prod, n_passes)
+    wdy = jnp.stack(terms)                       # (P, n_lvl, cp, f, 2, b)
+    if not merged:
+        wdy = wdy.transpose(1, 0, 2, 3, 4, 5)
+    wdy = wdy.reshape(lg, n_passes * ccp * f * 2, b)
+
+    kernel = functools.partial(_scatter_kernel_paired, ccp, f, hi_n,
+                               n_passes)
+    out, carry = pl.pallas_call(
+        kernel,
+        grid=(lg, b // t),
+        in_specs=[
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, n_passes * ccp * f * 2, t),
+                         lambda l, tb: (l, 0, tb)),
+        ],
+        out_specs=[
+            pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
+            pl.BlockSpec((1, hi_n, _LO), lambda l, tb: (l, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
+            jax.ShapeDtypeStruct((lg, hi_n, _LO), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(idx_e.astype(jnp.int32).reshape(lg, ccp, b), wdy)
+    blocks = out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
+                .reshape(lg, r_pad, f)
+    # carry column p·F+f -> (lg, hi_n, F), summing the value passes.
+    cc3 = carry.reshape(lg, hi_n, _LO)[:, :, :n_passes * f] \
+               .reshape(lg, hi_n, n_passes, f).sum(axis=2)
+    return blocks, cc3
+
+
+# ---------------------------------------------------------------------------
 # Gather + interpolate: cols[l·F+f, b] = Σ_c w_c(b) · table_l[idx_c(b), f]
 # ---------------------------------------------------------------------------
 
@@ -266,6 +410,73 @@ def _gather_kernel(cc: int, f: int, c: int, hi_n: int, n_passes: int,
                 accs[fi] = accs[fi] + w_c * y
         rows.extend(accs)
     out_ref[...] = jnp.concatenate(rows, axis=0)[None]
+
+
+def _gather_kernel_paired(ccp: int, f: int, cp: int, hi_n: int,
+                          n_passes: int, tab_ref, tab0s_ref, idx_ref,
+                          w_ref, out_ref):
+    """Pair-packed gather: one z contraction per corner PAIR.
+
+    tab_ref: (1, P·F·128, HI) bf16 (pack_tables layout).
+    tab0s_ref: (1, 128, HI) bf16 — row p·F+f holds the lo=0 table rows
+               SHIFTED one hi block left (table[(hi+1)·128], feature f,
+               term p): the lane-wrap odd value (lo==127 → next block).
+    idx_ref: (1, CCP, T) int32 EVEN rows.  w_ref: (1, 2·CCP, T) f32,
+             row 2·ci + eo (odd weights pre-zeroed at level wraps).
+    out_ref: (1, n_lvl·F, T) f32.
+    """
+    tt = idx_ref.shape[2]
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    n_lvl = ccp // cp
+
+    rows = []
+    for l in range(n_lvl):
+        accs = [jnp.zeros((1, tt), jnp.float32) for _ in range(f)]
+        for cj in range(cp):
+            ci = l * cp + cj
+            idx = idx_ref[0, ci:ci + 1, :]
+            hi = idx // _LO
+            lo = idx % _LO
+            hihot = (iota_hi == hi).astype(jnp.bfloat16)
+            lo_e = iota_lo == lo
+            lo_o = iota_lo == lo + 1
+            wrap = lo == _LO - 1
+            w_e = w_ref[0, 2 * ci:2 * ci + 1, :]
+            w_o = w_ref[0, 2 * ci + 1:2 * ci + 2, :]
+            zw = jax.lax.dot_general(
+                tab0s_ref[0], hihot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (128, tt)
+            for fi in range(f):
+                z = jnp.zeros((_LO, tt), jnp.float32)
+                zw_f = jnp.zeros((1, tt), jnp.float32)
+                for p in range(n_passes):
+                    r = (p * f + fi) * _LO
+                    z = z + jax.lax.dot_general(
+                        tab_ref[0, r:r + _LO, :], hihot,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    zw_f = zw_f + zw[p * f + fi:p * f + fi + 1, :]
+                y_e = jnp.sum(jnp.where(lo_e, z, 0.0), axis=0,
+                              keepdims=True)
+                y_o = (jnp.sum(jnp.where(lo_o, z, 0.0), axis=0,
+                               keepdims=True)
+                       + jnp.where(wrap, zw_f, 0.0))
+                accs[fi] = accs[fi] + w_e * y_e + w_o * y_o
+        rows.extend(accs)
+    out_ref[...] = jnp.concatenate(rows, axis=0)[None]
+
+
+def _shifted_lo0_rows(tabT: jax.Array, f: int, n_passes: int) -> jax.Array:
+    """(n_blocks, P·F·128, HI) pack -> (n_blocks, 128, HI) operand whose
+    row p·F+f is the lo=0 row shifted one hi block left (the lane-wrap
+    odd-corner values); remaining rows zero."""
+    lo0 = tabT[:, ::_LO, :]                       # (nb, P·F, HI)
+    shifted = jnp.concatenate(
+        [lo0[:, :, 1:], jnp.zeros_like(lo0[:, :, :1])], axis=2)
+    nb, pf, hi_n = shifted.shape
+    return jnp.concatenate(
+        [shifted, jnp.zeros((nb, _LO - pf, hi_n), shifted.dtype)], axis=1)
 
 
 def pack_tables(flat: jax.Array, sizes: Sequence[int],
@@ -337,6 +548,49 @@ def _gather_levels_matmul_impl(tabT: jax.Array, idx_kernel: jax.Array,
     return out.reshape(n_lvl * f, b)
 
 
+def _gather_levels_matmul_paired_impl(tabT: jax.Array, idx_e: jax.Array,
+                                      w2: jax.Array, f: int, c: int,
+                                      n_passes: int,
+                                      merged: bool = False) -> jax.Array:
+    """Pair-packed fused gather + interpolation.
+
+    idx_e: (Lg·C/2, B) int32 kernel-space EVEN rows.
+    w2: (Lg·C, B) f32 interleaved (even, odd) weights, row 2·pair + eo,
+        odd weights pre-zeroed at level wraps.
+    Returns (Lg·F, B) f32 columns (EXCLUDING the level-wrap term, which
+    the caller adds).
+    """
+    lcp, b = idx_e.shape
+    cp = c // 2
+    n_lvl = lcp // cp
+    lg, ccp = (1, lcp) if merged else (n_lvl, cp)
+    pn, hi_n = tabT.shape[1], tabT.shape[2]
+    t = batch_tile(b)
+    if t == 0:
+        raise ValueError(f"batch {b} has no usable tile")
+
+    tab0s = _shifted_lo0_rows(tabT, f, n_passes)
+    kernel = functools.partial(_gather_kernel_paired, ccp, f, cp, hi_n,
+                               n_passes)
+    out = pl.pallas_call(
+        kernel,
+        grid=(lg, b // t),
+        in_specs=[
+            pl.BlockSpec((1, pn, hi_n), lambda l, tb: (l, 0, 0)),
+            pl.BlockSpec((1, _LO, hi_n), lambda l, tb: (l, 0, 0)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, 2 * ccp, t), lambda l, tb: (l, 0, tb)),
+        ],
+        out_specs=pl.BlockSpec((1, (ccp // cp) * f, t),
+                               lambda l, tb: (l, 0, tb)),
+        out_shape=jax.ShapeDtypeStruct((lg, (ccp // cp) * f, b),
+                                       jnp.float32),
+        interpret=interpret_mode(),
+    )(tabT, tab0s, idx_e.astype(jnp.int32).reshape(lg, ccp, b),
+      w2.astype(jnp.float32).reshape(lg, 2 * ccp, b))
+    return out.reshape(n_lvl * f, b)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable wrappers.  Raw pallas_calls inside a custom_vjp fwd
 # rule fail to linearize under second-order differentiation, so — like
@@ -366,6 +620,23 @@ def assemble_flat(blocks: jax.Array, sizes, offsets, f: int,
     return part
 
 
+def _pair_split(idx_local, w, sizes, c):
+    """Full corner arrays -> even rows, even/odd weights, level-wrap
+    mask (odd corner at a level's last row wraps to its first row,
+    mirroring the serial pair kernels' convention)."""
+    n_lvl = len(sizes)
+    b = w.shape[1]
+    idx3 = idx_local.reshape(n_lvl, c, b)
+    ws3 = w.astype(jnp.float32).reshape(n_lvl, c, b)
+    idx_e = idx3[:, 0::2, :]
+    last = jnp.asarray(np.array(sizes, np.int32).reshape(n_lvl, 1, 1)) - 1
+    wrap = idx_e == last
+    w_e = ws3[:, 0::2, :]
+    w_o = ws3[:, 1::2, :]
+    w_o_in = jnp.where(wrap, 0.0, w_o)
+    return idx_e, w_e, w_o, w_o_in, wrap
+
+
 def _lazy_feats(flat, idx_local, offsets, f, c):
     """(Lg, C, B, F) gathered features — jnp takes, DCE'd when the
     consumer (input gradients / second order) is unused."""
@@ -378,28 +649,47 @@ def _lazy_feats(flat, idx_local, offsets, f, c):
                       for l in range(lg)], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
                sizes: Tuple[int, ...], offsets: Tuple[int, ...],
-               f: int, c: int, r_pad: int, merged: bool) -> jax.Array:
+               f: int, c: int, r_pad: int, merged: bool,
+               paired: bool) -> jax.Array:
     tabT = pack_tables(flat, sizes, offsets, f, r_pad, flat.dtype, merged)
-    idx_v = _virtualize_idx(idx_local, sizes, c, merged)
-    return _gather_levels_matmul_impl(tabT, idx_v, w, f, c,
-                                      _value_passes(flat.dtype), merged)
+    n_passes = _value_passes(flat.dtype)
+    if not paired:
+        idx_v = _virtualize_idx(idx_local, sizes, c, merged)
+        return _gather_levels_matmul_impl(tabT, idx_v, w, f, c,
+                                          n_passes, merged)
+    n_lvl = len(sizes)
+    b = w.shape[1]
+    cp = c // 2
+    idx_e, w_e, w_o, w_o_in, wrap = _pair_split(idx_local, w, sizes, c)
+    idx_ev = _virtualize_idx(idx_e.reshape(-1, b), sizes, cp, merged)
+    w2 = jnp.stack([w_e, w_o_in], axis=2).reshape(n_lvl * cp * 2, b)
+    cols = _gather_levels_matmul_paired_impl(tabT, idx_ev, w2, f, c,
+                                             n_passes, merged)
+    # Level-wrap term: the wrapped odd corner reads the level's FIRST
+    # row (full-precision side read, matching _interpolate_paired).
+    n_rows = flat.shape[0] // f
+    e0 = jnp.take(flat.reshape(n_rows, f).astype(jnp.float32),
+                  jnp.asarray(np.array(offsets, np.int32)), axis=0)
+    w_wrap = jnp.where(wrap, w_o, 0.0)            # (n_lvl, cp, B)
+    corr = jnp.einsum("lpb,lk->lkb", w_wrap, e0).reshape(n_lvl * f, b)
+    return cols + corr
 
 
 def _mm_gather_fwd(flat, idx_local, w, sizes, offsets, f, c, r_pad,
-                   merged):
+                   merged, paired):
     return (_mm_gather(flat, idx_local, w, sizes, offsets, f, c, r_pad,
-                       merged),
+                       merged, paired),
             (flat, idx_local, w))
 
 
-def _mm_gather_bwd(sizes, offsets, f, c, r_pad, merged, res, ct):
+def _mm_gather_bwd(sizes, offsets, f, c, r_pad, merged, paired, res, ct):
     flat, idx_local, w = res
     dflat = mm_scatter(idx_local, w, ct, sizes, offsets, f, c, r_pad,
                        flat.shape[0], str(flat.dtype),
-                       merged).astype(flat.dtype)
+                       merged, paired).astype(flat.dtype)
     fr = _lazy_feats(flat, idx_local, offsets, f, c)
     lg = len(sizes)
     b = w.shape[1]
@@ -416,39 +706,65 @@ _mm_gather.defvjp(_mm_gather_fwd, _mm_gather_bwd)
 def mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
               sizes: Tuple[int, ...], offsets: Tuple[int, ...],
               f: int, c: int, r_pad: int,
-              merged: bool = False) -> jax.Array:
+              merged: bool = False, paired: bool = False) -> jax.Array:
     """Fused gather+interpolate of Lg levels from a flat table.
 
     idx_local is LEVEL-local in both modes (merged-mode intra-class
-    offsets are added internally).  Returns (Lg·F, B) f32 columns;
-    linear in ``flat``, bilinear with ``w``.  Reverse-differentiable
-    to any order.
+    offsets are added internally).  ``paired`` selects the pair-packed
+    kernels (requires dim-0-adjacent corner rows on every level).
+    Returns (Lg·F, B) f32 columns; linear in ``flat``, bilinear with
+    ``w``.  Reverse-differentiable to any order.
     """
     return _mm_gather(flat, idx_local, w, tuple(sizes), tuple(offsets),
-                      f, c, r_pad, bool(merged))
+                      f, c, r_pad, bool(merged), bool(paired))
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
                 sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                 f: int, c: int, r_pad: int, n_flat: int,
-                value_dtype_str: str, merged: bool) -> jax.Array:
-    idx_v = _virtualize_idx(idx_local, sizes, c, merged)
-    blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
-                                   _dtype_of(value_dtype_str), merged)
-    return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
+                value_dtype_str: str, merged: bool,
+                paired: bool) -> jax.Array:
+    if not paired:
+        idx_v = _virtualize_idx(idx_local, sizes, c, merged)
+        blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
+                                       _dtype_of(value_dtype_str), merged)
+        return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
+    n_lvl = len(sizes)
+    b = w.shape[1]
+    cp = c // 2
+    idx_e, w_e, w_o, w_o_in, wrap = _pair_split(idx_local, w, sizes, c)
+    idx_ev = _virtualize_idx(idx_e.reshape(-1, b), sizes, cp, merged)
+    blocks, carry = scatter_levels_matmul_paired(
+        idx_ev, w_e.reshape(-1, b), w_o_in.reshape(-1, b), dcols,
+        r_pad, f, c, _dtype_of(value_dtype_str), merged)
+    # Lane-wrap fold: mass for (hi+1)·128 accumulated at carry[hi]
+    # (the top block's carry is structurally zero: its only lo==127
+    # row is r_pad-1, which is level-wrap-zeroed when it exists).
+    blocks = blocks.at[:, _LO::_LO, :].add(carry[:, :-1, :])
+    part = assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
+    # Level-wrap: wrapped odd mass lands on each level's FIRST row.
+    dc3 = dcols.astype(jnp.float32).reshape(n_lvl, f, b)
+    w_wrap = jnp.where(wrap, w_o, 0.0)             # (n_lvl, cp, B)
+    corr = jnp.stack(
+        [jnp.sum(w_wrap * dc3[:, None, k, :], axis=(1, 2))
+         for k in range(f)], axis=1)               # (n_lvl, F)
+    tgt = jnp.asarray(np.array(
+        [offsets[l] * f + k for l in range(n_lvl) for k in range(f)],
+        np.int32))
+    return part.at[tgt].add(corr.reshape(-1))
 
 
 def _mm_scatter_fwd(idx_local, w, dcols, sizes, offsets, f, c, r_pad,
-                    n_flat, value_dtype_str, merged):
+                    n_flat, value_dtype_str, merged, paired):
     return (_mm_scatter(idx_local, w, dcols, sizes, offsets, f, c,
-                        r_pad, n_flat, value_dtype_str, merged),
+                        r_pad, n_flat, value_dtype_str, merged, paired),
             (idx_local, w, dcols))
 
 
 def _mm_scatter_bwd(sizes, offsets, f, c, r_pad, n_flat, value_dtype_str,
-                    merged, res, ct_flat):
+                    merged, paired, res, ct_flat):
     """VJP of the bilinear (w, dcols) ↦ scatter(w·dcols) map (second
     order only; first-order training never reaches this)."""
     idx_local, w, dcols = res
@@ -472,10 +788,11 @@ def mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
                sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                f: int, c: int, r_pad: int, n_flat: int,
                value_dtype_str: str,
-               merged: bool = False) -> jax.Array:
+               merged: bool = False, paired: bool = False) -> jax.Array:
     """Deterministic MXU scatter of ``w·dcols`` -> FLAT (n_flat,) f32
     table gradient (levels outside sizes/offsets untouched=0).
-    idx_local is LEVEL-local in both modes."""
+    idx_local is LEVEL-local in both modes; ``paired`` selects the
+    pair-packed kernel (dim-0-adjacent rows required)."""
     return _mm_scatter(idx_local, w, dcols, tuple(sizes),
                        tuple(offsets), f, c, r_pad, n_flat,
-                       value_dtype_str, bool(merged))
+                       value_dtype_str, bool(merged), bool(paired))

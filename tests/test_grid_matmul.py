@@ -300,3 +300,173 @@ class TestMergedClasses:
             spec, t, x, fast_scatter=False) ** 2))(table)
         np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestPairedMatmul:
+    """Pair-packed MXU kernels (TCNN_TPU_MM_PAIRED=1): one one-hot
+    contraction serves both dim-0 corners; lane wraps (lo==127) ride a
+    carry plane, level wraps (row size-1 -> row 0) the outside
+    correction.  Ground truth: the jnp path and the unpaired kernels."""
+
+    @pytest.fixture(autouse=True)
+    def _enable(self, monkeypatch):
+        monkeypatch.setenv("TCNN_TPU_MM_PAIRED", "1")
+
+    @pytest.mark.parametrize("hash_type,interp", [
+        (HashType.COHERENT_ADD, InterpolationType.LINEAR),
+        (HashType.COHERENT_ADD, InterpolationType.SMOOTHSTEP),
+    ])
+    def test_forward_and_grads_coherent_add(self, hash_type, interp):
+        spec = _mk(hash_type, n_levels=4, hashmap=9, interpolation=interp)
+        assert any(lv.use_hash for lv in spec.levels)
+        table = jax.random.normal(key(21), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(22), (1024, 2))
+
+        def run(fast):
+            def loss(t):
+                y = grid_ops.grid_encode(spec, t, x, fast_scatter=fast)
+                return jnp.sum(y ** 2), y
+            (l, y), g = jax.value_and_grad(loss, has_aux=True)(table)
+            return y, g
+
+        y_f, g_f = run(True)
+        y_s, g_s = run(False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                   rtol=RTOL, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    @pytest.mark.parametrize("gtype", [GridType.DENSE, GridType.TILED])
+    def test_dense_tiled_paired(self, gtype):
+        spec = _mk(n_levels=3, base=5, scale=1.7, grid_type=gtype)
+        table = jax.random.normal(key(23), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(24), (1024, 2))
+        g_f = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2))(table)
+        g_s = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_class_plan_partitions_by_pairing(self):
+        # Mixed meta: paired + unpaired levels must land in separate
+        # classes; with the env off, one combined plan.
+        meta = ((True, 300, 0), (False, 300, 300), (True, 280, 600))
+        plans = list(grid_ops._mm_class_plan(meta, [0, 1, 2]))
+        paired_levels = sorted(sum((lv for lv, _, _, pr in plans if pr), []))
+        unpaired_levels = sorted(sum((lv for lv, _, _, pr in plans
+                                      if not pr), []))
+        assert paired_levels == [0, 2] and unpaired_levels == [1]
+
+    def _naive(self, idx_full, w_full, dcols, n_flat, f, offsets, sizes):
+        n_lvl, c, b = idx_full.shape
+        out = np.zeros((n_flat,), np.float32)
+        dc = np.asarray(dcols, np.float32).reshape(n_lvl, f, b)
+        for l in range(n_lvl):
+            for ci in range(c):
+                for bi in range(b):
+                    r = offsets[l] + int(idx_full[l, ci, bi])
+                    for k in range(f):
+                        out[r * f + k] += (float(w_full[l, ci, bi])
+                                           * dc[l, k, bi])
+        return out
+
+    def _crafted(self, sizes, b=512, f=2, seed=30):
+        """Full corner arrays (c=2: one dim-0 pair) with even rows
+        forced onto lane-wrap (lo=127) and level-wrap (size-1) rows."""
+        rng = np.random.RandomState(seed)
+        n_lvl = len(sizes)
+        idx_e = np.stack([rng.randint(0, s, size=(1, b)) for s in sizes])
+        # Force edge rows into every level's stream.
+        for l, s in enumerate(sizes):
+            idx_e[l, 0, 0] = s - 1                 # level wrap
+            if s > 128:
+                idx_e[l, 0, 1] = 127               # lane wrap
+            if s > 256:
+                idx_e[l, 0, 2] = 255
+        idx_o = (idx_e + 1) % np.array(sizes).reshape(n_lvl, 1, 1)
+        idx_full = np.stack([idx_e, idx_o], axis=2).reshape(n_lvl, 2, b)
+        w_full = rng.rand(n_lvl, 2, b).astype(np.float32)
+        dcols = rng.randn(n_lvl * f, b).astype(np.float32)
+        return idx_full, w_full, dcols
+
+    @pytest.mark.parametrize("merged", [False, True])
+    def test_scatter_paired_exact_wraps(self, merged):
+        sizes = (300, 290)
+        offsets = (0, 300)
+        f = 2
+        r_pad = 512 if not merged else 640
+        n_flat = 590 * f
+        idx_full, w_full, dcols = self._crafted(sizes, f=f)
+        got = gm.mm_scatter(
+            jnp.asarray(idx_full.reshape(-1, idx_full.shape[2])),
+            jnp.asarray(w_full.reshape(-1, w_full.shape[2])),
+            jnp.asarray(dcols), sizes, offsets, f, 2, r_pad, n_flat,
+            "float32", merged, True)
+        want = self._naive(idx_full, w_full, dcols, n_flat, f, offsets,
+                           sizes)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-3)
+
+    @pytest.mark.parametrize("merged", [False, True])
+    def test_gather_paired_exact_wraps(self, merged):
+        sizes = (300, 290)
+        offsets = (0, 300)
+        f = 2
+        r_pad = 512 if not merged else 640
+        n_flat = 590 * f
+        idx_full, w_full, _ = self._crafted(sizes, f=f, seed=31)
+        flat = (np.random.RandomState(32).randn(n_flat) * 0.1
+                ).astype(np.float32)
+        got = gm.mm_gather(
+            jnp.asarray(flat),
+            jnp.asarray(idx_full.reshape(-1, idx_full.shape[2])),
+            jnp.asarray(w_full.reshape(-1, w_full.shape[2])),
+            sizes, offsets, f, 2, r_pad, merged, True)
+        # Naive: cols[l*f+k] = sum_c w * table[off + idx][k]
+        t2 = flat.reshape(-1, f)
+        b = idx_full.shape[2]
+        want = np.zeros((len(sizes) * f, b), np.float32)
+        for l in range(len(sizes)):
+            for ci in range(2):
+                rows = offsets[l] + idx_full[l, ci]
+                for k in range(f):
+                    want[l * f + k] += w_full[l, ci] * t2[rows, k]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_second_order_paired(self, monkeypatch):
+        """Mixed second order d/dx d/dt through the paired rules must
+        match the jnp path analytically (grid_encode is linear in t, so
+        finite-difference probes only see bf16 value quantization —
+        compare exact VJP-of-VJP programs instead)."""
+        spec = _mk(HashType.COHERENT_ADD, n_levels=3, hashmap=9,
+                   interpolation=InterpolationType.SMOOTHSTEP)
+        table = jax.random.normal(key(25), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(26), (512, 2), minval=0.1, maxval=0.9)
+        v = jax.random.normal(key(29), table.shape)
+
+        def cross(fast):
+            def inner(t, xx):
+                y = grid_ops.grid_encode(spec, t, xx, fast_scatter=fast)
+                return jnp.sum(jnp.sin(y))
+            return jax.grad(
+                lambda xx: jnp.vdot(jax.grad(inner)(table, xx), v))(x)
+
+        got = cross(True)
+        monkeypatch.delenv("TCNN_TPU_MM_PAIRED")
+        want_mm = cross(True)
+        want = cross(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want_mm),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-2, atol=1e-3)
+
+    def test_deterministic_paired(self):
+        spec = _mk(HashType.COHERENT_ADD, hashmap=9)
+        table = jax.random.normal(key(27), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(28), (2048, 2))
+        fn = jax.jit(jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2)))
+        g1, g2 = fn(table), fn(table)
+        assert np.array_equal(np.asarray(g1), np.asarray(g2))
