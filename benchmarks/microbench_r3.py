@@ -102,15 +102,19 @@ def main(which):
 
         return jax.jit(run)
 
-    def set_mm(on):
-        if on:
-            os.environ.pop("TCNN_TPU_DISABLE_MM", None)
-        else:
+    def set_mm(mode):
+        """mode: True/'mm', False/'serial', or 'mmp' (mm + paired)."""
+        os.environ.pop("TCNN_TPU_DISABLE_MM", None)
+        os.environ.pop("TCNN_TPU_MM_PAIRED", None)
+        if mode in (False, "serial"):
             os.environ["TCNN_TPU_DISABLE_MM"] = "1"
+        elif mode == "mmp":
+            os.environ["TCNN_TPU_MM_PAIRED"] = "1"
 
     # Variant selection via MB_VARIANTS (comma list of
-    # {add,prime}_{mm,serial}); default keeps the compile count low —
-    # remote compiles cost minutes each on the tunnel.
+    # {add,prime}_{mm,mmp,serial}; mmp = pair-packed matmul kernels).
+    # Default keeps the compile count low — remote compiles cost
+    # minutes each on the tunnel.
     variants = os.environ.get("MB_VARIANTS", "prime_mm,add_serial").split(",")
 
     def variant_list():
@@ -118,7 +122,7 @@ def main(which):
         for v in variants:
             name, mode = v.split("_")
             sp = {"add": spec, "prime": spec_prime}[name]
-            out.append((v, sp, mode == "mm"))
+            out.append((v, sp, mode))
         return out
 
     if which in ("fwd", "all"):
@@ -234,8 +238,8 @@ def main(which):
         state = tr.initial_state()
         t = jax.random.uniform(jax.random.key(1), (B, 3))
 
-        for mm in (True, False):
-            set_mm(mm)
+        for mode in os.environ.get("MB_STEP_MODES", "mm,serial").split(","):
+            set_mm(mode)
 
             def body(st, key):
                 x = jax.random.uniform(key, (B, 2))
@@ -243,7 +247,7 @@ def main(which):
                 return st
 
             slope(lambda K: scan_over(body, K, state),
-                  label=f"train step B={B} mm={mm}")
+                  label=f"train step B={B} mode={mode}")
         set_mm(True)
 
 
