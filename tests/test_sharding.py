@@ -100,10 +100,17 @@ class TestShardMapWithKernels:
                         "n_hidden_layers": 2},
         }
 
-    def test_loss_curve_matches_single_device(self, monkeypatch):
+    @pytest.mark.parametrize("paired", [False, True])
+    def test_loss_curve_matches_single_device(self, monkeypatch, paired):
         monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
-        model_a = tcnn.create_from_config(2, 3, self._config())
-        model_b = tcnn.create_from_config(2, 3, self._config())
+        cfg = self._config()
+        if paired:
+            # Pair-packed kernels (CoherentAdd gives hash levels dim-0
+            # adjacency) must shard identically.
+            monkeypatch.setenv("TCNN_TPU_MM_PAIRED", "1")
+            cfg["encoding"]["hash"] = "CoherentAdd"
+        model_a = tcnn.create_from_config(2, 3, cfg)
+        model_b = tcnn.create_from_config(2, 3, cfg)
         state_a = model_a.trainer.initial_state()
         dp = DataParallel()
         step_b = dp.make_training_step(model_b.trainer, use_shard_map=True)
