@@ -92,14 +92,21 @@ class FusedMLP(MLP):
                      or batch >= self.PALLAS_MIN_BATCH)):
             from ...ops.pallas import fused_mlp as kernels
 
-            return kernels.fused_mlp_apply(
-                params["layers"], x,
-                activation=self.activation,
-                output_activation=self.output_activation,
-                compute_dtype=self.policy.compute_dtype,
-                output_dtype=self.policy.output_dtype,
-                input_soa=input_soa,
-            )
+            try:
+                return kernels.fused_mlp_apply(
+                    params["layers"], x,
+                    activation=self.activation,
+                    output_activation=self.output_activation,
+                    compute_dtype=self.policy.compute_dtype,
+                    output_dtype=self.policy.output_dtype,
+                    input_soa=input_soa,
+                )
+            except TypeError as e:
+                # Forward-mode (jvp/jacfwd) tracer: the kernel's
+                # custom_vjp is reverse-only; the identical-math XLA
+                # chain below supports jvp to any order.
+                if "custom_vjp" not in str(e):
+                    raise
         return super().apply(params, x.T if input_soa else x)
 
     def inference(self, params, x, input_soa: bool = False):

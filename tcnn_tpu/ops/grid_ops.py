@@ -819,8 +819,21 @@ def grid_encode(
                  or spec.hash_type == HashType.COHERENT_ADD,
                  lv.size, lv.offset)
                 for lv in (spec.levels[li] for li in live))
-            cols = _grid_interpolate(flat, idx, ws, ws_bwd,
-                                     (F, C, lv_meta))
+            try:
+                cols = _grid_interpolate(flat, idx, ws, ws_bwd,
+                                         (F, C, lv_meta))
+            except TypeError as e:
+                # Forward-mode (jvp/jacfwd) tracer: custom_vjp is
+                # reverse-only, so fall back to the pure-jnp math
+                # whose jvp JAX derives (identical values; the same
+                # escape the reference lacks entirely — its bindings
+                # are reverse-only, modules.py:120-160).  Stochastic
+                # interpolation keeps the custom VJP semantics and
+                # stays reverse-only.
+                if ("custom_vjp" not in str(e)
+                        or spec.stochastic_interpolation):
+                    raise
+                cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
         else:
             cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
     else:

@@ -19,10 +19,11 @@ AD: ``fast_take`` (gather) and ``scatter_add_rows`` are linear and each
 other's transpose; both carry a ``jax.custom_vjp`` whose backward calls
 the other, so reverse-mode differentiation composes to any order
 (bwd-bwd through the grid encoding stays fast).  Forward-mode (jvp) of
-these ops is not defined — use reverse mode, as the reference's
-bindings do (modules.py:120-160), or route through the pure-jnp path
-(``grid_encode(..., fast_scatter=False)``), which supports jvp to any
-order (tests/test_grid.py::TestForwardMode).
+these ops is not defined — the reference's bindings are also
+reverse-only (modules.py:120-160) — but ``grid_encode`` catches the
+custom_vjp TypeError under a jvp trace and falls back to the
+identical-math jnp path, so jacfwd/jvp work on default settings
+(tests/test_grid.py::TestForwardMode).
 """
 
 from __future__ import annotations

@@ -486,13 +486,32 @@ class TestForwardMode:
         np.testing.assert_allclose(np.asarray(h_fr), np.asarray(h_rr),
                                    rtol=1e-3, atol=1e-4)
 
-    def test_fast_path_rejects_jvp(self):
-        """The fast path stays reverse-only; the error is JAX's
-        standard custom_vjp message pointing at the escape hatch."""
+    def test_fast_path_jvp_falls_back(self):
+        """Under a forward-mode trace the fast path auto-falls back to
+        the jnp math (custom_vjp kernels are reverse-only), so jvp
+        works on default settings and matches the jnp path."""
         spec, table, x = self._setup()
+        v = jnp.ones_like(table)
+        y_f, t_f = jax.jvp(lambda t: grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True), (table,), (v,))
+        y_s, t_s = jax.jvp(lambda t: grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False), (table,), (v,))
+        np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_s),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_stochastic_stays_reverse_only(self):
+        """Stochastic interpolation keeps its custom-VJP scatter
+        weights and rejects jvp (the fallback would silently change
+        backward semantics)."""
+        import dataclasses
+
+        spec, table, x = self._setup()
+        sspec = dataclasses.replace(spec, stochastic_interpolation=True)
         with pytest.raises(TypeError, match="custom_vjp"):
             jax.jvp(lambda t: grid_ops.grid_encode(
-                spec, t, x, fast_scatter=True), (table,), (table,))
+                sspec, t, x, fast_scatter=True), (table,), (table,))
 
     def test_check_grads_fwd_mode(self):
         spec, table, x = self._setup()

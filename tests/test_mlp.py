@@ -168,3 +168,23 @@ class TestFusedMLPSecondOrder:
                         jax.tree_util.tree_leaves(h_j)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-2, atol=1e-4)
+
+
+class TestFusedMLPForwardMode:
+    def test_jvp_falls_back_to_xla_chain(self):
+        """jvp through FusedMLP auto-falls back to the identical-math
+        XLA chain (the Pallas custom_vjp is reverse-only)."""
+        fused = tcnn.FusedMLP(n_input_dims=32, n_output_dims=16,
+                              n_neurons=64, n_hidden_layers=2,
+                              use_pallas=True)
+        ref = tcnn.MLP(n_input_dims=32, n_output_dims=16, n_neurons=64,
+                       n_hidden_layers=2)
+        params = ref.init(jax.random.key(40))
+        x = jax.random.uniform(jax.random.key(41), (256, 32))
+        v = jax.tree_util.tree_map(jnp.ones_like, params)
+        y_f, t_f = jax.jvp(lambda p: fused.apply(p, x), (params,), (v,))
+        y_r, t_r = jax.jvp(lambda p: ref.apply(p, x), (params,), (v,))
+        np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   rtol=1e-4, atol=1e-4)
