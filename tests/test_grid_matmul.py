@@ -470,3 +470,26 @@ class TestPairedMatmul:
             spec, t, x, fast_scatter=True) ** 2)))
         g1, g2 = fn(table), fn(table)
         assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+    @pytest.mark.parametrize("f", [1, 4])
+    def test_paired_any_f(self, f):
+        spec = _mk(HashType.COHERENT_ADD, n_levels=3, f=f, hashmap=9)
+        table = jax.random.normal(key(33), (spec.n_entries, f)) * 0.1
+        x = jax.random.uniform(key(34), (512, 2))
+        g_f = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2))(table)
+        g_s = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_paired_bf16_tables(self):
+        spec = _mk(HashType.COHERENT_ADD, n_levels=3, hashmap=9)
+        table = (jax.random.normal(key(35), (spec.n_entries, 2)) * 0.1
+                 ).astype(jnp.bfloat16)
+        x = jax.random.uniform(key(36), (1024, 2))
+        y_f = grid_ops.grid_encode(spec, table, x, fast_scatter=True)
+        y_s = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        np.testing.assert_allclose(
+            np.asarray(y_f, np.float32), np.asarray(y_s, np.float32),
+            rtol=2e-2, atol=1e-3)
