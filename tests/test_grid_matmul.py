@@ -493,3 +493,20 @@ class TestPairedMatmul:
         np.testing.assert_allclose(
             np.asarray(y_f, np.float32), np.asarray(y_s, np.float32),
             rtol=2e-2, atol=1e-3)
+
+    def test_paired_3d(self):
+        """C=8 corners -> 4 dim-0 pairs (the BTF-style multi-dim case)."""
+        spec = grid_ops.make_grid_spec(3, 3, 2, 9, 4, 1.6,
+                                       hash_type=HashType.COHERENT_ADD)
+        table = jax.random.normal(key(37), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(38), (512, 3))
+        g_f = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=True) ** 2))(table)
+        g_s = jax.grad(lambda t: jnp.sum(grid_ops.grid_encode(
+            spec, t, x, fast_scatter=False) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+        y_f = grid_ops.grid_encode(spec, table, x, fast_scatter=True)
+        y_s = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                   rtol=RTOL, atol=1e-5)
