@@ -57,9 +57,9 @@ class _FlatModel:
     jitted value/VJP/VJP-of-VJP entry points (the reference keeps all
     params in a single torch tensor too, modules.py:176)."""
 
-    def __init__(self, module):
+    def __init__(self, module, seed: int = 1337):
         self.module = module
-        params = module.init(jax.random.key(1337))
+        params = module.init(jax.random.key(seed))
         leaves, self.treedef = jax.tree_util.tree_flatten(params)
         self.shapes = [l.shape for l in leaves]
         self.sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
@@ -142,6 +142,12 @@ if TORCH_AVAILABLE:
             dparams, dx = _ModuleFunctionBackward.apply(native, params, x, dy)
             return None, dparams, dx
 
+    # The reference pads every batch up to batch_size_granularity (256)
+    # before dispatch and slices the result (modules.py:181-192).  Here
+    # the same padding ALSO caps jit recompilation: any batch size in
+    # (k·256, (k+1)·256] shares one compiled executable.
+    BATCH_GRANULARITY = 256
+
     class TorchModule(nn.Module):
         """Base torch module backed by the JAX framework
         (≈ tinycudann.modules.Module)."""
@@ -149,9 +155,15 @@ if TORCH_AVAILABLE:
         def __init__(self, jax_module, seed: int = 1337):
             super().__init__()
             self.jax_module = jax_module
-            self.native = _FlatModel(jax_module)
+            self.native = _FlatModel(jax_module, seed)
+            self.seed = seed
             self.n_input_dims = jax_module.n_input_dims
             self.n_output_dims = jax_module.n_output_dims
+            # Params are fp32 throughout (no fp16 loss-scale protocol
+            # needed); attributes kept for reference API parity
+            # (modules.py:167-174).
+            self.dtype = torch.float32
+            self.loss_scale = 1.0
             self.params = nn.Parameter(
                 torch.from_numpy(self.native.initial_params()))
 
@@ -160,35 +172,95 @@ if TORCH_AVAILABLE:
                 raise ValueError(
                     f"expected {self.n_input_dims} input dims, got "
                     f"{x.shape[-1]}")
-            return _ModuleFunction.apply(self.native, self.params,
-                                         x.to(torch.float32))
+            b = x.shape[0]
+            g = BATCH_GRANULARITY
+            pb = (b + g - 1) // g * g
+            xp = x if b == pb else torch.nn.functional.pad(
+                x, [0, 0, 0, pb - b])
+            y = _ModuleFunction.apply(self.native, self.params,
+                                      xp.to(torch.float32))
+            return y[:b].to(self.dtype)
+
+        def _make_jax_module(self):
+            raise NotImplementedError(
+                "pickling requires a concrete subclass")
+
+        def __getstate__(self):
+            # Like the reference (modules.py:194-199): drop the
+            # unpicklable native entries; parameters travel via the
+            # regular nn.Module state.
+            state = self.__dict__.copy()
+            del state["native"]
+            del state["jax_module"]
+            return state
+
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+            self.jax_module = self._make_jax_module()
+            self.native = _FlatModel(self.jax_module, self.seed)
 
         def extra_repr(self):
-            return f"otype={self.jax_module.name}, n_params={self.native.n_params}"
+            return (f"otype={self.jax_module.name}, "
+                    f"n_params={self.native.n_params}, seed={self.seed}, "
+                    f"dtype={self.dtype}")
 
     class NetworkWithInputEncoding(TorchModule):
         def __init__(self, n_input_dims, n_output_dims, encoding_config,
                      network_config, seed: int = 1337):
             from ..config import create_network_with_input_encoding
 
+            self.encoding_config = encoding_config
+            self.network_config = network_config
+            self._n_out_requested = n_output_dims
             super().__init__(create_network_with_input_encoding(
                 n_input_dims, n_output_dims, encoding_config, network_config),
                 seed=seed)
+
+        def _make_jax_module(self):
+            from ..config import create_network_with_input_encoding
+
+            return create_network_with_input_encoding(
+                self.n_input_dims, self._n_out_requested,
+                self.encoding_config, self.network_config)
 
     class Network(TorchModule):
         def __init__(self, n_input_dims, n_output_dims, network_config,
                      seed: int = 1337):
             from ..config import create_network
 
+            self.network_config = network_config
+            self._n_out_requested = n_output_dims
             super().__init__(create_network(network_config, n_input_dims,
                                             n_output_dims), seed=seed)
 
+        def _make_jax_module(self):
+            from ..config import create_network
+
+            return create_network(self.network_config, self.n_input_dims,
+                                  self._n_out_requested)
+
     class Encoding(TorchModule):
-        def __init__(self, n_input_dims, encoding_config, seed: int = 1337):
+        def __init__(self, n_input_dims, encoding_config, seed: int = 1337,
+                     dtype=None):
             from ..config import create_encoding
 
+            self.encoding_config = encoding_config
+            if dtype not in (None, torch.float32, torch.float16):
+                raise ValueError(
+                    "Encoding only supports fp32 or fp16 precision, "
+                    f"but got {dtype}")
             super().__init__(create_encoding(n_input_dims, encoding_config),
                              seed=seed)
+            # Reference semantics (modules.py:311-326): dtype selects the
+            # OUTPUT precision; None = the optimally performing one,
+            # which for fp32-parameter JAX modules is fp32.
+            if dtype is not None:
+                self.dtype = dtype
+
+        def _make_jax_module(self):
+            from ..config import create_encoding
+
+            return create_encoding(self.n_input_dims, self.encoding_config)
 
 
 def free_temporary_memory():

@@ -50,7 +50,8 @@ def _register():
         absolute_decay=cfg.get("absolute_decay", 0.0),
     ))
     register_optimizer("EMA", lambda cfg: EMA(
-        _nested(cfg), decay=cfg.get("decay", 0.99)))
+        _nested(cfg), decay=cfg.get("decay", 0.99),
+        full_precision=cfg.get("full_precision", False)))
     register_optimizer("Average", lambda cfg: Average(
         _nested(cfg), n_samples=cfg.get("n_samples", 128)))
     register_optimizer("Batched", lambda cfg: Batched(
@@ -69,12 +70,15 @@ def _register():
     def _composite(cfg):
         nested_cfgs = cfg["nested"]
         opts = [create_optimizer(c) for c in nested_cfgs]
+        lrf = cfg.get("learning_rate_factor", 1.0)
         if any("n_params_to_optimize" in c for c in nested_cfgs):
             return Composite(opts, n_params_each=[
-                int(c.get("n_params_to_optimize", 0)) for c in nested_cfgs])
+                int(c.get("n_params_to_optimize", 0)) for c in nested_cfgs],
+                learning_rate_factor=lrf)
         return Composite(opts, kinds_each=[
             c.get("params", "matrix" if i == 0 else "other")
-            for i, c in enumerate(nested_cfgs)])
+            for i, c in enumerate(nested_cfgs)],
+            learning_rate_factor=lrf)
 
     register_optimizer("Composite", _composite)
 

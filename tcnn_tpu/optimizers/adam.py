@@ -141,22 +141,16 @@ class Adam(Optimizer):
     def learning_rate(self):
         return self.lr
 
-    def update_hyperparams(self, cfg: Dict[str, Any]) -> None:
-        """Runtime updates of the scalar knobs (adam.h:240-270)."""
-        mapping = {
-            "learning_rate": "lr", "beta1": "beta1", "beta2": "beta2",
-            "epsilon": "epsilon", "l2_reg": "l2_reg",
-            "relative_decay": "relative_decay",
-            "absolute_decay": "absolute_decay",
-            "non_matrix_learning_rate_factor": "non_matrix_lr_factor",
-            "clipping_magnitude": "clipping_magnitude",
-        }
-        for k, v in cfg.items():
-            if k.lower() == "otype":
-                continue
-            if k not in mapping:
-                raise NotImplementedError(f"Adam cannot update {k!r}")
-            setattr(self, mapping[k], float(v))
+    # Runtime-updatable knobs (adam.h:240-270), consumed by the generic
+    # Optimizer.update_hyperparams.
+    _HYPERPARAM_ATTRS = {
+        "learning_rate": "lr", "beta1": "beta1", "beta2": "beta2",
+        "epsilon": "epsilon", "l2_reg": "l2_reg",
+        "relative_decay": "relative_decay",
+        "absolute_decay": "absolute_decay",
+        "non_matrix_learning_rate_factor": "non_matrix_lr_factor",
+        "clipping_magnitude": "clipping_magnitude",
+    }
 
     def hyperparams(self) -> Dict[str, Any]:
         return {

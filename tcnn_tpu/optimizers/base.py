@@ -86,15 +86,26 @@ class Optimizer:
     def hyperparams(self) -> Dict[str, Any]:
         raise NotImplementedError
 
+    #: json key -> attribute name; drives the generic
+    #: :meth:`update_hyperparams`.  Each concrete optimizer lists the
+    #: same keys its reference counterpart accepts at runtime.
+    _HYPERPARAM_ATTRS: Dict[str, str] = {}
+
     def update_hyperparams(self, cfg: Dict[str, Any]) -> None:
         """Runtime hyperparameter update (≈ Object::update_hyperparams,
-        object.h:56-61; Adam impl adam.h:240-270).  Callers that hold
-        jitted step closures must re-jit afterwards —
-        ``Trainer.update_hyperparams`` does this automatically."""
-        cfg = {k: v for k, v in cfg.items() if k.lower() != "otype"}
-        if cfg:
-            raise NotImplementedError(
-                f"{type(self).__name__} does not support updating {list(cfg)}")
+        object.h:56-61; per-optimizer impls e.g. adam.h:240-270,
+        sgd.h:116-124).  Callers that hold jitted step closures must
+        re-jit afterwards — ``Trainer.update_hyperparams`` does this
+        automatically."""
+        for k, v in cfg.items():
+            if k.lower() == "otype":
+                continue
+            attr = self._HYPERPARAM_ATTRS.get(k)
+            if attr is None:
+                raise NotImplementedError(
+                    f"{type(self).__name__} does not support updating {k!r}")
+            cur = getattr(self, attr)
+            setattr(self, attr, type(cur)(v))
 
     @property
     def name(self) -> str:

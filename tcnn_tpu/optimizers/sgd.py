@@ -10,6 +10,9 @@ from .base import Optimizer, tree_map
 
 
 class SGD(Optimizer):
+    _HYPERPARAM_ATTRS = {"learning_rate": "lr",
+                         "l2_reg": "l2_reg"}  # sgd.h:116-124
+
     def __init__(self, learning_rate: float = 1e-3, l2_reg: float = 1e-8):
         self.lr = float(learning_rate)
         self.l2_reg = float(l2_reg)
@@ -51,6 +54,12 @@ class Novograd(Optimizer):
     matrices, novograd.h:122-150), only "matrix" leaves are optimized;
     non-matrix params (hash tables) are left untouched.
     """
+
+    _HYPERPARAM_ATTRS = {
+        "learning_rate": "lr", "beta1": "beta1", "beta2": "beta2",
+        "epsilon": "epsilon", "relative_decay": "relative_decay",
+        "absolute_decay": "absolute_decay",
+    }  # novograd.h:187-213
 
     def __init__(self, learning_rate: float = 1e-3, beta1: float = 0.9,
                  beta2: float = 0.999, epsilon: float = 1e-8,

@@ -51,6 +51,16 @@ def _inverse_4th_root_psd(a: jax.Array, identity_strength: float) -> jax.Array:
 
 
 class Shampoo(Optimizer):
+    _HYPERPARAM_ATTRS = {
+        "learning_rate": "lr", "beta1": "beta1", "beta2": "beta2",
+        "beta3": "beta3", "beta_shampoo": "beta_shampoo",
+        "epsilon": "epsilon", "identity": "identity_strength",
+        "cg_on_momentum": "cg_on_momentum", "l2_reg": "l2_reg",
+        "relative_decay": "relative_decay",
+        "absolute_decay": "absolute_decay",
+        "frobenius_normalization": "frobenius_normalization",
+    }  # shampoo.h update_hyperparams
+
     def __init__(
         self,
         learning_rate: float = 1e-3,

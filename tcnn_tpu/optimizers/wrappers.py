@@ -51,9 +51,17 @@ class EMA(_Nesting):
     store-debiased formulation.  Follows nested custom weights if the
     nested optimizer provides them (ema.h:110-114)."""
 
-    def __init__(self, nested: Optimizer, decay: float = 0.99):
+    _HYPERPARAM_ATTRS = {"decay": "decay",
+                         "full_precision": "full_precision"}  # ema.h
+
+    def __init__(self, nested: Optimizer, decay: float = 0.99,
+                 full_precision: bool = False):
         super().__init__(nested)
         self.decay = float(decay)
+        # Reference flag (ema.h): keep the EMA in fp32 regardless of T.
+        # This implementation ALWAYS accumulates in fp32, so the flag is
+        # accepted for config parity and recorded, but changes nothing.
+        self.full_precision = bool(full_precision)
 
     def init(self, params, layout):
         return {
@@ -81,6 +89,7 @@ class EMA(_Nesting):
 
     def hyperparams(self) -> Dict[str, Any]:
         return {"otype": "EMA", "decay": self.decay,
+                "full_precision": self.full_precision,
                 "nested": self._nested.hyperparams()}
 
 
@@ -89,9 +98,19 @@ class Average(_Nesting):
     (optimizers/average.h:44-110).  Keeps a ring buffer plus a running
     sum (sum += new − evicted) like the reference."""
 
+    _HYPERPARAM_ATTRS = {"n_samples": "n_samples"}  # average.h
+
     def __init__(self, nested: Optimizer, n_samples: int = 128):
         super().__init__(nested)
         self.n_samples = int(n_samples)
+
+    @staticmethod
+    def _window(state) -> int:
+        """Ring size of THIS state (its buffer's leading dim) — an
+        updated n_samples only applies to freshly init()ed states, like
+        the reference's reallocate-on-update (average.h:112-120)."""
+        leaves = jax.tree_util.tree_leaves(state["buffer"])
+        return leaves[0].shape[0] if leaves else 1
 
     def init(self, params, layout):
         return {
@@ -109,7 +128,7 @@ class Average(_Nesting):
         tracked = self._nested.custom_weights(nstate, new_params)
         if tracked is None:
             tracked = new_params
-        slot = (state["step"] % self.n_samples).astype(jnp.int32)
+        slot = (state["step"] % self._window(state)).astype(jnp.int32)
 
         def upd(buf, s, w):
             w32 = w.astype(jnp.float32)
@@ -131,7 +150,8 @@ class Average(_Nesting):
         }, new_params
 
     def custom_weights(self, state, params):
-        n = jnp.minimum(jnp.maximum(state["step"], 1), self.n_samples)
+        n = jnp.minimum(jnp.maximum(state["step"], 1),
+                        self._window(state))
         n = n.astype(jnp.float32)
         return tree_map(lambda s, p: (s / n).astype(p.dtype),
                         state["sum"], params)
@@ -145,6 +165,8 @@ class Batched(_Nesting):
     """Gradient accumulation: steps the nested optimizer once every
     ``batch_size_multiplier`` calls with the averaged gradient
     (optimizers/batched.h:44-90)."""
+
+    _HYPERPARAM_ATTRS = {"batch_size_multiplier": "multiplier"}  # batched.h
 
     def __init__(self, nested: Optimizer, batch_size_multiplier: int = 16):
         super().__init__(nested)
@@ -190,6 +212,9 @@ class Batched(_Nesting):
 class Lookahead(_Nesting):
     """Lookahead (optimizers/lookahead.h:43-100): every n_steps,
     slow ← slow + α(fast − slow) and the fast weights reset to slow."""
+
+    _HYPERPARAM_ATTRS = {"alpha": "alpha",
+                         "n_steps": "n_steps"}  # lookahead.h
 
     def __init__(self, nested: Optimizer, alpha: float = 0.5, n_steps: int = 16):
         super().__init__(nested)
@@ -238,6 +263,11 @@ class ExponentialDecay(_Nesting):
     decay_interval == 0, the lr factor multiplies by decay_base.
     ``step`` is the nested pre-step counter, exactly like the reference.
     """
+
+    _HYPERPARAM_ATTRS = {
+        "decay_base": "decay_base", "decay_start": "decay_start",
+        "decay_end": "decay_end", "decay_interval": "decay_interval",
+    }  # exponential_decay.h:92-110
 
     def __init__(self, nested: Optimizer, decay_base: float = 0.1,
                  decay_start: int = 10000, decay_end: int = 10000000,
@@ -298,10 +328,15 @@ class Composite(Optimizer):
 
     def __init__(self, nested: List[Optimizer],
                  n_params_each: Optional[List[int]] = None,
-                 kinds_each: Optional[List[str]] = None):
+                 kinds_each: Optional[List[str]] = None,
+                 learning_rate_factor: float = 1.0):
         self._nested_list = nested
         self.n_params_each = n_params_each
         self.kinds_each = kinds_each
+        # Global multiplier on every nested learning rate
+        # (composite.h:93-99: set_learning_rate scales each nested's
+        # BASE lr by the factor; here it composes with lr_scale).
+        self.learning_rate_factor = float(learning_rate_factor)
         if (n_params_each is None) == (kinds_each is None):
             raise ValueError(
                 "Composite: specify exactly one of n_params_to_optimize "
@@ -373,7 +408,8 @@ class Composite(Optimizer):
         new_states, new_groups = [], []
         for opt, st, pg, gg in zip(self._nested_list, state["nested"],
                                    p_groups, g_groups):
-            st2, p2 = opt.step(st, tuple(gg), tuple(pg), lr_scale)
+            st2, p2 = opt.step(st, tuple(gg), tuple(pg),
+                               lr_scale * self.learning_rate_factor)
             new_states.append(st2)
             new_groups.append(list(p2))
         # Reassemble in canonical leaf order.
@@ -400,8 +436,27 @@ class Composite(Optimizer):
 
     @property
     def learning_rate(self):
-        return self._nested_list[0].learning_rate
+        # The composite's "learning rate" IS the factor
+        # (composite.h:92-94).
+        return self.learning_rate_factor
+
+    def update_hyperparams(self, cfg):
+        # composite.h:156-163: a "nested" ARRAY is forwarded
+        # element-wise to the nested optimizers.
+        cfg = dict(cfg)
+        nested_cfg = cfg.pop("nested", None)
+        if nested_cfg:
+            if not isinstance(nested_cfg, (list, tuple)):
+                raise ValueError(
+                    "Composite.update_hyperparams: 'nested' must be an "
+                    "array with one entry per nested optimizer")
+            for opt, sub in zip(self._nested_list, nested_cfg):
+                opt.update_hyperparams(sub)
+        if "learning_rate_factor" in cfg:
+            self.learning_rate_factor = float(cfg.pop("learning_rate_factor"))
+        super().update_hyperparams(cfg)
 
     def hyperparams(self) -> Dict[str, Any]:
         return {"otype": "Composite",
+                "learning_rate_factor": self.learning_rate_factor,
                 "nested": [o.hyperparams() for o in self._nested_list]}

@@ -219,6 +219,36 @@ class TestWrappers:
         np.testing.assert_allclose(np.asarray(p2[0]), -1.0)
         np.testing.assert_allclose(np.asarray(p2[1]), 1.0)
 
+    def test_composite_learning_rate_factor(self):
+        """composite.h:93-99,151-163: the factor scales every nested lr;
+        update_hyperparams forwards a "nested" array and the factor."""
+        opt = tcnn.create_optimizer({
+            "otype": "Composite", "learning_rate_factor": 0.5,
+            "nested": [
+                {"otype": "SGD", "learning_rate": 1.0, "l2_reg": 0.0,
+                 "params": "matrix"},
+                {"otype": "SGD", "learning_rate": 1.0, "l2_reg": 0.0,
+                 "params": "other"},
+            ]})
+        assert opt.learning_rate == 0.5
+        params = {"w": jnp.asarray([1.0]), "grid": jnp.asarray([1.0])}
+        layout = {"w": "matrix", "grid": "other"}
+        state = opt.init(params, layout)
+        g = {"w": jnp.asarray([1.0]), "grid": jnp.asarray([1.0])}
+        _, p2 = opt.step(state, g, params)
+        # lr 1.0 scaled by factor 0.5 on both partitions
+        assert float(p2["w"][0]) == 0.5
+        assert float(p2["grid"][0]) == 0.5
+        opt.update_hyperparams({
+            "learning_rate_factor": 2.0,
+            "nested": [{"learning_rate": 0.25}, {"learning_rate": 0.5}]})
+        assert opt.learning_rate == 2.0
+        assert opt.nested(0).learning_rate == 0.25
+        assert opt.hyperparams()["learning_rate_factor"] == 2.0
+        _, p3 = opt.step(state, g, params)
+        assert float(p3["w"][0]) == 0.5    # 1 - 0.25*2
+        assert float(p3["grid"][0]) == 0.0  # 1 - 0.5*2
+
     def test_composite_misaligned_raises(self):
         opt = tcnn.Composite(
             [tcnn.SGD(), tcnn.SGD()], n_params_each=[1, 4])
@@ -268,3 +298,75 @@ class TestFactory:
 
     def test_default_is_adam(self):
         assert isinstance(tcnn.create_optimizer({}), tcnn.Adam)
+
+
+class TestRuntimeHyperparams:
+    """Every reference optimizer supports update_hyperparams with the
+    same keys it takes at construction (sgd.h:116-124, novograd.h:187,
+    shampoo.h, ema.h, average.h, batched.h, lookahead.h,
+    exponential_decay.h:92-110)."""
+
+    def test_scalar_optimizers(self):
+        for cfg, key, attr in [
+            ({"otype": "SGD"}, "learning_rate", "lr"),
+            ({"otype": "Novograd"}, "beta1", "beta1"),
+            ({"otype": "Shampoo"}, "beta_shampoo", "beta_shampoo"),
+        ]:
+            opt = tcnn.create_optimizer(cfg)
+            opt.update_hyperparams({key: 0.123})
+            assert getattr(opt, attr) == 0.123
+        opt = tcnn.create_optimizer({"otype": "Shampoo"})
+        opt.update_hyperparams({"cg_on_momentum": False})
+        assert opt.cg_on_momentum is False
+
+    def test_wrappers_and_nested_forwarding(self):
+        opt = tcnn.create_optimizer({
+            "otype": "ExponentialDecay", "decay_base": 0.5,
+            "nested": {"otype": "EMA", "decay": 0.9,
+                       "nested": {"otype": "Adam", "learning_rate": 1.0}}})
+        opt.update_hyperparams({
+            "decay_base": 0.25,
+            "nested": {"decay": 0.95,
+                       "nested": {"learning_rate": 0.5}}})
+        assert opt.decay_base == 0.25
+        assert opt.nested(0).decay == 0.95
+        assert opt.nested(0).nested(0).lr == 0.5
+        for otype, key, attr, val in [
+            ("Batched", "batch_size_multiplier", "multiplier", 4),
+            ("Lookahead", "alpha", "alpha", 0.75),
+            ("Average", "n_samples", "n_samples", 3),
+        ]:
+            o = tcnn.create_optimizer(
+                {"otype": otype, "nested": {"otype": "SGD"}})
+            o.update_hyperparams({key: val})
+            assert getattr(o, attr) == val
+
+    def test_unknown_key_still_raises(self):
+        opt = tcnn.create_optimizer({"otype": "SGD"})
+        with pytest.raises(NotImplementedError, match="bogus"):
+            opt.update_hyperparams({"bogus": 1})
+
+    def test_average_window_follows_state(self):
+        """Existing states keep their ring size after an n_samples
+        update; new states use the new size (reference reallocates,
+        average.h:112-120)."""
+        opt = tcnn.Average(tcnn.SGD(learning_rate=0.0, l2_reg=0.0),
+                           n_samples=2)
+        params = {"w": jnp.asarray([0.0])}
+        state = opt.init(params, {"w": "matrix"})
+        opt.update_hyperparams({"n_samples": 8})
+        g = {"w": jnp.asarray([0.0])}
+        st = state
+        for _ in range(5):
+            st, params = opt.step(st, g, params)
+        # old state: window of 2 still
+        assert tcnn.Average._window(st) == 2
+        st_new = opt.init(params, {"w": "matrix"})
+        assert tcnn.Average._window(st_new) == 8
+
+    def test_ema_full_precision_flag(self):
+        opt = tcnn.create_optimizer({
+            "otype": "EMA", "decay": 0.5, "full_precision": True,
+            "nested": {"otype": "SGD"}})
+        assert opt.full_precision is True
+        assert opt.hyperparams()["full_precision"] is True

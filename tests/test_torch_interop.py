@@ -117,3 +117,71 @@ class TestDoubleBackward:
         assert torch.autograd.gradcheck(
             lambda xx: enc(xx), (x,), eps=1e-3, atol=1e-2, rtol=1e-2,
             nondet_tol=0.0)
+
+
+class TestModuleProtocol:
+    """Reference module niceties: pickling (modules.py:194-206), seed,
+    Encoding dtype (modules.py:311-326), batch-granularity padding
+    (modules.py:181-192)."""
+
+    def test_pickle_roundtrip(self):
+        import io
+        import pickle
+
+        m = NetworkWithInputEncoding(2, 3, ENC_CFG, NET_CFG)
+        x = torch.rand(32, 2)
+        with torch.no_grad():
+            m.params += 0.01  # move off the init so state matters
+        y0 = m(x).detach().numpy()
+        m2 = pickle.loads(pickle.dumps(m))
+        np.testing.assert_allclose(m2(x).detach().numpy(), y0,
+                                   rtol=1e-6, atol=1e-7)
+        # torch.save/load of the whole module goes through pickle too
+        buf = io.BytesIO()
+        torch.save(m, buf)
+        buf.seek(0)
+        m3 = torch.load(buf, weights_only=False)
+        np.testing.assert_allclose(m3(x).detach().numpy(), y0,
+                                   rtol=1e-6, atol=1e-7)
+        # grads still flow after reconstruction
+        m3(x).sum().backward()
+        assert m3.params.grad is not None
+
+    def test_pickle_encoding_and_network(self):
+        import pickle
+
+        for m in (Encoding(2, {"otype": "Frequency", "n_frequencies": 4}),
+                  Network(8, 4, NET_CFG)):
+            x = torch.rand(16, m.n_input_dims)
+            y0 = m(x).detach().numpy()
+            m2 = pickle.loads(pickle.dumps(m))
+            np.testing.assert_allclose(m2(x).detach().numpy(), y0,
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_seed_changes_init(self):
+        a = Network(8, 4, NET_CFG, seed=1)
+        b = Network(8, 4, NET_CFG, seed=2)
+        assert not torch.equal(a.params, b.params)
+        c = Network(8, 4, NET_CFG, seed=1)
+        assert torch.equal(a.params, c.params)
+
+    def test_encoding_dtype_half(self):
+        m = Encoding(2, {"otype": "Frequency", "n_frequencies": 4},
+                     dtype=torch.float16)
+        y = m(torch.rand(16, 2))
+        assert y.dtype == torch.float16
+        with pytest.raises(ValueError, match="fp32 or fp16"):
+            Encoding(2, {"otype": "Frequency", "n_frequencies": 4},
+                     dtype=torch.int32)
+
+    def test_odd_batch_sizes(self):
+        """Any batch size works; sizes in the same granularity bucket
+        share one jit executable (reference pads to 256)."""
+        m = NetworkWithInputEncoding(2, 3, ENC_CFG, NET_CFG)
+        for b in (1, 7, 255, 300):
+            x = torch.rand(b, 2, requires_grad=True)
+            y = m(x)
+            assert y.shape == (b, 3)
+            y.sum().backward()
+            assert x.grad.shape == (b, 2)
+            assert torch.isfinite(x.grad).all()
