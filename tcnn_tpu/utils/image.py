@@ -206,3 +206,116 @@ class ImageSampler:
 
 def mse2psnr(mse: float) -> float:
     return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+# ---------------------------------------------------------------------------
+# scripts/common.py parity helpers: color-space conversion and the fp16
+# ``.bin`` interchange format (common.py:52-91).  These operate on
+# numpy arrays (host-side IO), not jax arrays.
+# ---------------------------------------------------------------------------
+
+
+def srgb_to_linear(img: np.ndarray) -> np.ndarray:
+    """Inverse sRGB gamma (common.py:52-54)."""
+    img = np.asarray(img, np.float32)
+    return np.where(img > 0.04045,
+                    np.power((img + 0.055) / 1.055, 2.4), img / 12.92)
+
+
+def linear_to_srgb(img: np.ndarray) -> np.ndarray:
+    """sRGB gamma (common.py:56-58)."""
+    img = np.asarray(img, np.float32)
+    return np.where(img > 0.0031308,
+                    1.055 * np.power(np.maximum(img, 0.0), 1.0 / 2.4) - 0.055,
+                    12.92 * img)
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image as LINEAR float32 (H, W, C).
+
+    ``.bin`` files use the reference's raw interchange format
+    (common.py:60-74): an (h, w) int32 header then h·w·4 fp16 values,
+    already linear.  Other extensions decode via the regular image
+    stack and convert sRGB→linear, premultiplying alpha when a 4th
+    channel is present.
+    """
+    import os
+    import struct
+
+    if os.path.splitext(path)[1] == ".bin":
+        with open(path, "rb") as f:
+            data = f.read()
+        h, w = struct.unpack("ii", data[:8])
+        return (np.frombuffer(data, np.float16, count=h * w * 4, offset=8)
+                .astype(np.float32).reshape(h, w, 4))
+    img = _read_image_u8(path)
+    if img.shape[2] == 4:
+        img = img.copy()
+        img[..., :3] = srgb_to_linear(img[..., :3]) * img[..., 3:4]
+        return img
+    return srgb_to_linear(img)
+
+
+def write_image(path: str, img: np.ndarray, quality: int = 95) -> None:
+    """Write a LINEAR float32 (H, W, C) image (common.py:76-91):
+    ``.bin`` stores raw fp16 (padded to 4 channels); other extensions
+    un-premultiply alpha, convert linear→sRGB and quantize to 8-bit."""
+    import os
+    import struct
+
+    img = np.asarray(img, np.float32)
+    if os.path.splitext(path)[1] == ".bin":
+        if img.shape[2] < 4:
+            pad = np.ones(img.shape[:2] + (4 - img.shape[2],), np.float32)
+            img = np.concatenate([img, pad], axis=2)
+        with open(path, "wb") as f:
+            f.write(struct.pack("ii", img.shape[0], img.shape[1]))
+            f.write(img.astype(np.float16).tobytes())
+        return
+    if img.shape[2] == 4:
+        img = img.copy()
+        a = img[..., 3:4]
+        img[..., :3] = linear_to_srgb(
+            np.divide(img[..., :3], a, out=np.zeros_like(img[..., :3]),
+                      where=a != 0))
+    else:
+        img = linear_to_srgb(img)
+    _write_image_u8(path, img, quality)
+
+
+def _read_image_u8(path: str) -> np.ndarray:
+    """Decode to float32 (H, W, C) in [0,1] keeping the alpha channel."""
+    try:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path), np.float32) / 255.0
+    except ImportError:
+        import imageio.v2 as imageio
+
+        arr = np.asarray(imageio.imread(path), np.float32)
+        if arr.max() > 1.0:
+            arr = arr / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _write_image_u8(path: str, img: np.ndarray, quality: int) -> None:
+    import os
+
+    u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".jpg", ".jpeg") and u8.ndim == 3 and u8.shape[2] > 3:
+        u8 = u8[:, :, :3]
+    if u8.shape[2] == 1:
+        u8 = u8[:, :, 0]
+    try:
+        from PIL import Image
+
+        Image.fromarray(u8).save(
+            path, **({"quality": quality, "subsampling": 0}
+                     if ext in (".jpg", ".jpeg") else {}))
+    except ImportError:
+        import imageio.v2 as imageio
+
+        imageio.imwrite(path, u8)

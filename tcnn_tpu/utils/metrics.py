@@ -52,3 +52,17 @@ def mse2psnr(mse: float) -> float:
 
 def psnr(img, ref) -> float:
     return mse2psnr(mean_MSE(img, ref))
+
+
+def trim(error, skip: float = 1e-6):
+    """Mean of the error array with the extreme ``skip`` fraction of
+    values dropped from each tail (common.py:93-97)."""
+    err = np.sort(np.asarray(error).ravel())
+    k = int(skip * err.size)
+    return err[k:err.size - k].mean()
+
+
+def luminance(a):
+    """Rec.709 luma of a gamma-1/2.2-encoded copy (common.py:99-101)."""
+    a = np.maximum(0, np.asarray(a)) ** 0.4545454545
+    return (0.2126 * a[..., 0] + 0.7152 * a[..., 1] + 0.0722 * a[..., 2])
