@@ -224,7 +224,11 @@ class Lookahead(_Nesting):
     def init(self, params, layout):
         return {
             "nested": self._nested.init(params, layout),
-            "slow": tree_map(lambda p: p.astype(jnp.float32), params),
+            # copy=True: astype(f32) of f32 params ALIASES them, and the
+            # Trainer's donated jitted step would then receive the same
+            # buffer twice (params + slow) -> runtime error.
+            "slow": tree_map(
+                lambda p: jnp.array(p, jnp.float32, copy=True), params),
             "step": jnp.zeros((), jnp.uint32),
         }
 
