@@ -31,6 +31,8 @@ Level geometry matches the reference exactly:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import dataclasses
 import math
 from typing import List, Optional, Sequence, Tuple
@@ -239,6 +241,78 @@ def _interp_weight(f: jax.Array, interp: InterpolationType) -> jax.Array:
     if interp == InterpolationType.NEAREST:
         return (f > 0.5).astype(f.dtype)
     raise ValueError(f"bad interpolation {interp}")
+
+
+# -- model-parallel (row-sharded) tables --------------------------------
+#
+# The reference is strictly single-GPU, so its hash tables are bounded
+# by one device's memory.  TPU-natively we row-shard each grid table
+# over a mesh axis: under ``sharded_tables(axis, n)`` every
+# ``grid_encode`` call expects its table argument to be THIS shard's
+# contiguous row range (rows [i·N/n, (i+1)·N/n) of the full table on
+# mesh position i along ``axis``), gathers/interpolates only locally
+# owned corner rows (masked weights), and ``psum``s the partial feature
+# columns over the axis.  Each table row is owned by exactly one shard,
+# so the psum reassembles the exact full-table interpolation; autodiff
+# through the masked gather makes the table gradient land ONLY on the
+# owning shard (no collective on the table grads — they are sharded
+# state, like the reference's tables are device state).
+_TABLE_SHARDING: contextvars.ContextVar[Optional[Tuple[str, int]]] = \
+    contextvars.ContextVar("tcnn_table_sharding", default=None)
+
+
+@contextlib.contextmanager
+def sharded_tables(axis_name: str, n_shards: int):
+    """Trace-time context: grid tables are row-sharded ``n_shards``-ways
+    over mesh axis ``axis_name`` (use inside :func:`jax.shard_map`).
+
+    Gradient caveat: the forward psums partial features over
+    ``axis_name``, and psum's transpose is psum — so if the downstream
+    loss is REPLICATED across the axis (the usual layout; every rank
+    computes the identical loss), reverse-mode table-shard gradients
+    arrive a uniform ``n_shards``× too large.  ``HybridParallel``'s
+    step divides this back out; divide by ``n_shards`` yourself when
+    differentiating through this context directly.
+    """
+    token = _TABLE_SHARDING.set((axis_name, int(n_shards)))
+    try:
+        yield
+    finally:
+        _TABLE_SHARDING.reset(token)
+
+
+def _interpolate_sharded(spec: GridSpec, flat, idx, ws, fc,
+                         axis_name: str, n_shards: int):
+    """Per-shard interpolation of a row-sharded table + psum.
+
+    ``flat`` is the LOCAL shard: rows [sid·R, (sid+1)·R) of the full
+    table (R = n_entries/n_shards), flattened.  Out-of-shard corners get
+    zero weight and a clipped (in-bounds, value-irrelevant) index; the
+    psum over ``axis_name`` sums each corner's single owning shard.
+    """
+    F, C = fc[0], fc[1]
+    rows_total = spec.n_entries
+    if rows_total % n_shards:
+        raise ValueError(
+            f"sharded_tables: n_entries={rows_total} not divisible by "
+            f"n_shards={n_shards} (levels are 8-row aligned; pick a "
+            f"shard count dividing the total)")
+    rows_local = rows_total // n_shards
+    if flat.size != rows_local * F:
+        raise ValueError(
+            f"sharded_tables({axis_name}, {n_shards}): expected a local "
+            f"table shard of {rows_local * F} params, got {flat.size} "
+            f"(full table is {rows_total * F})")
+    L = idx.shape[0]
+    B = ws.shape[1]
+    sid = jax.lax.axis_index(axis_name)
+    lo = sid.astype(jnp.int32) * jnp.int32(rows_local)
+    local = idx - lo                                   # (L, C·B) int32
+    in_range = (local >= 0) & (local < rows_local)
+    local = jnp.clip(local, 0, rows_local - 1)
+    mask = in_range.reshape(L, C, B).reshape(L * C, B)
+    cols_partial, _ = _interpolate_ref(flat, local, ws * mask, fc)
+    return jax.lax.psum(cols_partial, axis_name)
 
 
 def _default_fast_scatter() -> bool:
@@ -808,7 +882,22 @@ def grid_encode(
             mask_lc = jnp.repeat(live_mask, C_, axis=0)    # (L·C, B)
             ws = ws * mask_lc
             ws_bwd = ws_bwd * mask_lc
-        if fast_scatter or spec.stochastic_interpolation:
+        shard_ctx = _TABLE_SHARDING.get()
+        if (shard_ctx is not None and shard_ctx[1] > 1
+                and flat.size != spec.n_params):
+            # Model-parallel tables (sharded_tables context): ``flat``
+            # is this mesh position's row shard.  A full-size table
+            # under the context means this particular grid was left
+            # replicated (e.g. too small to divide) — it falls through
+            # to the ordinary paths below.
+            if spec.stochastic_interpolation:
+                raise NotImplementedError(
+                    "sharded_tables does not support "
+                    "stochastic_interpolation (the backward scatter "
+                    "weights differ from the forward's)")
+            cols = _interpolate_sharded(spec, flat, idx, ws, (F, C),
+                                        shard_ctx[0], shard_ctx[1])
+        elif fast_scatter or spec.stochastic_interpolation:
             # Stochastic interpolation always needs the custom VJP (the
             # scatter weights differ from the forward weights).
             # Per-level pairing eligibility: dense/tiled stride

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 import tcnn_tpu as tcnn
-from tcnn_tpu.parallel import DataParallel, make_mesh
+from tcnn_tpu.parallel import (DataParallel, HybridParallel, make_hybrid_mesh,
+                               make_mesh)
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs multiple (virtual) devices")
@@ -207,6 +208,143 @@ class TestPerturbationUnderShardMap:
         t_rep = jnp.tile(t1, (n, 1))
         per_shard = np.asarray(f(dp.replicate(state), x_rep, t_rep))
         assert len(np.unique(per_shard)) > 1, per_shard
+
+
+class TestHybridTableParallel:
+    """Model-parallel (row-sharded) grid tables on a (data, model) mesh
+    — the TPU-native scaling axis for tables larger than one chip's HBM
+    (the reference, single-GPU, has no analog; SURVEY.md §2.9).  Each
+    device interpolates only its own table rows and the partial feature
+    columns psum over the model axis; table grads and optimizer state
+    stay shard-local."""
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+    def test_loss_curve_matches_single_device(self, shape):
+        n_data, n_model = shape
+        model_a = tcnn.create_from_config(2, 3, config())
+        model_b = tcnn.create_from_config(2, 3, config())
+        state_a = model_a.trainer.initial_state()
+
+        hp = HybridParallel(n_model=n_model,
+                            devices=jax.devices()[:n_data * n_model])
+        assert (hp.n_data, hp.n_model) == (n_data, n_model)
+        state_b = hp.shard_state(model_b.trainer.initial_state())
+
+        # The grid table (and its Adam moments) must actually be
+        # sharded n_model-ways; the MLP weights stay replicated.
+        grid = state_b.params["encoding"]["grid"]
+        shard_shapes = {s.data.shape for s in grid.addressable_shards}
+        assert shard_shapes == {(grid.shape[0] // n_model,)}
+        mu_grid = state_b.opt_state["mu"]["encoding"]["grid"]
+        assert {s.data.shape for s in mu_grid.addressable_shards} == \
+            {(grid.shape[0] // n_model,)}
+        w = jax.tree_util.tree_leaves(state_b.params["network"])[0]
+        assert {s.data.shape for s in w.addressable_shards} == {w.shape}
+
+        step_b = hp.make_training_step(model_b.trainer)
+        key = jax.random.key(11)
+        for i in range(4):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (n_data * 64, 2))
+            t = jax.random.uniform(k2, (n_data * 64, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, hp.shard_batch(x),
+                                 hp.shard_batch(t))
+            # Same math modulo fp32 add order (per-shard partial sums
+            # psum in a different order than the corner loop), which
+            # Adam's rsqrt amplifies a little over the steps.
+            np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
+        # Reassembled sharded tables equal the single-device ones.
+        ga = np.asarray(state_a.params["encoding"]["grid"])
+        gb = np.asarray(jax.device_get(state_b.params["encoding"]["grid"]))
+        np.testing.assert_allclose(ga, gb, rtol=5e-3, atol=1e-6)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_inference(self):
+        model = tcnn.create_from_config(2, 3, config())
+        state = model.trainer.initial_state()
+        hp = HybridParallel(n_model=4)
+        infer = hp.make_inference(model.trainer)
+        x = jax.random.uniform(jax.random.key(1), (hp.n_data * 32, 2))
+        y = infer(hp.shard_state(state.params), hp.shard_batch(x))
+        y_ref = model.trainer.forward(state, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_composite_btf_style_grids(self):
+        """BTF-style 4-D input: two 2-D grids composited — BOTH nested
+        tables shard over the model axis."""
+        cfg = {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+            "encoding": {"otype": "Composite", "nested": [
+                {"otype": "HashGrid", "n_dims_to_encode": 2, "n_levels": 4,
+                 "n_features_per_level": 2, "log2_hashmap_size": 10,
+                 "base_resolution": 4, "per_level_scale": 1.5},
+                {"otype": "HashGrid", "n_dims_to_encode": 2, "n_levels": 4,
+                 "n_features_per_level": 2, "log2_hashmap_size": 10,
+                 "base_resolution": 4, "per_level_scale": 1.5},
+            ]},
+            "network": {"otype": "MLP", "n_neurons": 32,
+                        "n_hidden_layers": 2},
+        }
+        model_a = tcnn.create_from_config(4, 3, cfg)
+        model_b = tcnn.create_from_config(4, 3, cfg)
+        state_a = model_a.trainer.initial_state()
+        hp = HybridParallel(n_model=2)
+        state_b = hp.shard_state(model_b.trainer.initial_state())
+        n_sharded = sum(
+            1 for leaf in jax.tree_util.tree_leaves(state_b.params)
+            if {s.data.shape for s in leaf.addressable_shards}
+            != {leaf.shape})
+        assert n_sharded == 2, "both nested grid tables must shard"
+        step_b = hp.make_training_step(model_b.trainer)
+        key = jax.random.key(13)
+        for i in range(3):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (hp.n_data * 64, 4))
+            t = jax.random.uniform(k2, (hp.n_data * 64, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, hp.shard_batch(x),
+                                 hp.shard_batch(t))
+            np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
+
+    def test_replicated_table_falls_through(self):
+        """Under the sharded_tables context a FULL-size table (a grid
+        left replicated, e.g. indivisible rows) must compute the
+        ordinary unsharded path."""
+        from jax.sharding import PartitionSpec as P
+
+        from tcnn_tpu.ops import grid_ops
+
+        spec = grid_ops.make_grid_spec(
+            n_dims=2, n_levels=3, n_features_per_level=2,
+            log2_hashmap_size=8, base_resolution=4, per_level_scale=1.5)
+        table = jax.random.normal(jax.random.key(0),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(1), (len(jax.devices()) * 8, 2))
+        y_ref = grid_ops.grid_encode(spec, table, x)
+
+        mesh = make_mesh()
+
+        def f(table, x):
+            with grid_ops.sharded_tables("data", mesh.size):
+                return grid_ops.grid_encode(spec, table, x)
+
+        y = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P("data"), check_vma=False))(table, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_bad_mesh_raises(self):
+        if len(jax.devices()) % 3:
+            with pytest.raises(ValueError, match="divisible"):
+                make_hybrid_mesh(3)
+        with pytest.raises(ValueError, match="n_model"):
+            HybridParallel()
 
 
 class TestJitShardingsLowering:
