@@ -266,13 +266,18 @@ def sharded_tables(axis_name: str, n_shards: int):
     """Trace-time context: grid tables are row-sharded ``n_shards``-ways
     over mesh axis ``axis_name`` (use inside :func:`jax.shard_map`).
 
-    Gradient caveat: the forward psums partial features over
-    ``axis_name``, and psum's transpose is psum — so if the downstream
-    loss is REPLICATED across the axis (the usual layout; every rank
-    computes the identical loss), reverse-mode table-shard gradients
-    arrive a uniform ``n_shards``× too large.  ``HybridParallel``'s
-    step divides this back out; divide by ``n_shards`` yourself when
-    differentiating through this context directly.
+    Under the context, ``grid_encode`` expects (a) its table argument
+    to be this rank's contiguous row shard and (b) its batch argument
+    to be this rank's slice of the model group's batch: it all_gathers
+    the batch, interpolates locally owned rows for all of it, and
+    psum_scatters the partial features so every rank gets exactly its
+    own output columns (downstream compute stays batch-sharded).
+
+    Gradient convention: per-rank reverse mode sums every rank's LOCAL
+    loss cotangents into the table shards (the all_gather transpose),
+    i.e. table grads correspond to Σ_ranks loss_rank.  For grads of the
+    group-MEAN loss divide the table-shard grads by ``n_shards`` —
+    ``HybridParallel``'s step does this.
     """
     token = _TABLE_SHARDING.set((axis_name, int(n_shards)))
     try:
@@ -283,12 +288,17 @@ def sharded_tables(axis_name: str, n_shards: int):
 
 def _interpolate_sharded(spec: GridSpec, flat, idx, ws, fc,
                          axis_name: str, n_shards: int):
-    """Per-shard interpolation of a row-sharded table + psum.
+    """Per-shard interpolation of a row-sharded table + reduce-scatter.
 
     ``flat`` is the LOCAL shard: rows [sid·R, (sid+1)·R) of the full
-    table (R = n_entries/n_shards), flattened.  Out-of-shard corners get
-    zero weight and a clipped (in-bounds, value-irrelevant) index; the
-    psum over ``axis_name`` sums each corner's single owning shard.
+    table (R = n_entries/n_shards), flattened.  ``idx``/``ws`` cover the
+    whole model group's gathered batch (Bg = n_shards·B_local columns).
+    Out-of-shard corners get zero weight and a clipped (in-bounds,
+    value-irrelevant) index; each table row is owned by exactly one
+    shard, so the ``psum_scatter`` over ``axis_name`` both sums the
+    per-shard partial features exactly and hands every rank just ITS
+    B_local output columns (the Megatron-sharded-embedding pattern:
+    the MLP downstream runs batch-sharded over the model axis too).
     """
     F, C = fc[0], fc[1]
     rows_total = spec.n_entries
@@ -304,15 +314,20 @@ def _interpolate_sharded(spec: GridSpec, flat, idx, ws, fc,
             f"table shard of {rows_local * F} params, got {flat.size} "
             f"(full table is {rows_total * F})")
     L = idx.shape[0]
-    B = ws.shape[1]
+    Bg = ws.shape[1]
+    if Bg % n_shards:
+        raise ValueError(
+            f"sharded_tables: gathered batch {Bg} not divisible by "
+            f"n_shards={n_shards}")
     sid = jax.lax.axis_index(axis_name)
     lo = sid.astype(jnp.int32) * jnp.int32(rows_local)
-    local = idx - lo                                   # (L, C·B) int32
+    local = idx - lo                                   # (L, C·Bg) int32
     in_range = (local >= 0) & (local < rows_local)
     local = jnp.clip(local, 0, rows_local - 1)
-    mask = in_range.reshape(L, C, B).reshape(L * C, B)
+    mask = in_range.reshape(L, C, Bg).reshape(L * C, Bg)
     cols_partial, _ = _interpolate_ref(flat, local, ws * mask, fc)
-    return jax.lax.psum(cols_partial, axis_name)
+    return jax.lax.psum_scatter(cols_partial, axis_name,
+                                scatter_dimension=1, tiled=True)
 
 
 def _default_fast_scatter() -> bool:
@@ -866,8 +881,29 @@ def grid_encode(
 
     live = [li for li in range(spec.n_levels)
             if max_level is None or li < max_level]
+    shard_ctx = _TABLE_SHARDING.get()
+    sharded_mode = (shard_ctx is not None and shard_ctx[1] > 1
+                    and flat.size != spec.n_params)
+    if sharded_mode and spec.stochastic_interpolation:
+        # A full-size table under the context means this grid was left
+        # replicated and follows the ordinary paths (sharded_mode off).
+        raise NotImplementedError(
+            "sharded_tables does not support stochastic_interpolation "
+            "(the backward scatter weights differ from the forward's)")
     if live:
-        idx, ws, ws_bwd = _build_indices_weights(spec, x, live)
+        x_in = x
+        if sharded_mode:
+            # Model-parallel tables: the batch is sharded over the
+            # model axis too, but every rank's samples may touch every
+            # table shard — gather the model group's batch, build
+            # indices/weights for all of it, and let the psum_scatter
+            # in _interpolate_sharded hand back just our columns.
+            x_in = jax.lax.all_gather(x, shard_ctx[0], axis=0, tiled=True)
+            if max_level_per_element is not None:
+                max_level_per_element = jax.lax.all_gather(
+                    max_level_per_element.reshape(-1), shard_ctx[0],
+                    axis=0, tiled=True)
+        idx, ws, ws_bwd = _build_indices_weights(spec, x_in, live)
         if max_level_per_element is not None:
             # Per-sample coarse-to-fine masking (grid.h:69-92): level l
             # is live for sample b iff l < frac[b]·n_levels + 1e-3.
@@ -882,19 +918,9 @@ def grid_encode(
             mask_lc = jnp.repeat(live_mask, C_, axis=0)    # (L·C, B)
             ws = ws * mask_lc
             ws_bwd = ws_bwd * mask_lc
-        shard_ctx = _TABLE_SHARDING.get()
-        if (shard_ctx is not None and shard_ctx[1] > 1
-                and flat.size != spec.n_params):
+        if sharded_mode:
             # Model-parallel tables (sharded_tables context): ``flat``
-            # is this mesh position's row shard.  A full-size table
-            # under the context means this particular grid was left
-            # replicated (e.g. too small to divide) — it falls through
-            # to the ordinary paths below.
-            if spec.stochastic_interpolation:
-                raise NotImplementedError(
-                    "sharded_tables does not support "
-                    "stochastic_interpolation (the backward scatter "
-                    "weights differ from the forward's)")
+            # is this mesh position's row shard.
             cols = _interpolate_sharded(spec, flat, idx, ws, (F, C),
                                         shard_ctx[0], shard_ctx[1])
         elif fast_scatter or spec.stochastic_interpolation:

@@ -5,22 +5,27 @@ tables are bounded by one device's memory.  This module adds the
 TPU-native scaling axis the reference cannot have: a 2-D
 ``(data, model)`` mesh where
 
-* the sample batch is sharded over ``data`` (exactly like
-  :class:`~tcnn_tpu.parallel.mesh.DataParallel`), and
+* the sample batch is sharded FLAT over the whole mesh (every device
+  holds distinct samples — MLP and loss compute scale with all chips),
+  and
 * every grid ENCODING TABLE (and its optimizer state) is row-sharded
   over ``model`` — each device holds a contiguous ``n_entries/n_model``
   row range of each table, so BTF-scale grids (4-D composites at
   log2_hashmap_size ≥ 21) can exceed a single chip's HBM.
 
-Execution model (inside :func:`jax.shard_map`): each device gathers and
-interpolates only the corner rows it owns (out-of-shard corners get
-zero weight, see :func:`tcnn_tpu.ops.grid_ops.sharded_tables`), and the
-partial feature columns are ``psum``-ed over the ``model`` axis — one
-(L·F, B_local) all-reduce per step over ICI.  Table gradients need NO
-collective: autodiff through the masked gather lands each row's
-gradient exactly on its owning shard, and the (elementwise) optimizer
-updates each shard locally.  MLP parameters stay replicated with the
-usual gradient ``pmean`` over ``data``.
+Execution model (inside :func:`jax.shard_map`; the Megatron-style
+sharded-embedding pattern): every rank ``all_gather``s its model
+group's batch, interpolates ONLY the corner rows it owns for all of it
+(out-of-shard corners get zero weight, see
+:func:`tcnn_tpu.ops.grid_ops.sharded_tables`), and a ``psum_scatter``
+over ``model`` simultaneously sums the partial features and returns
+each rank exactly its own batch columns.  Gather work per device stays
+at the model group's batch (a sample may touch any shard — that is
+irreducible), while MLP/loss work shards ``n_model``× further.  Table
+gradients need no collective of their own: the all_gather transpose
+routes every rank's cotangents to the owning shard, and the
+(elementwise) optimizer updates each shard locally.  MLP parameters
+stay replicated with a gradient ``pmean`` over the whole mesh.
 
 Usage::
 
@@ -89,7 +94,10 @@ class HybridParallel:
         self.model_axis = model_axis
         self.n_data = mesh.shape[data_axis]
         self.n_model = mesh.shape[model_axis]
-        self.batch_sharding = NamedSharding(mesh, P(data_axis))
+        # The batch shards FLAT over the whole mesh (all devices hold
+        # distinct samples): MLP/loss compute scales with every chip,
+        # not just the data axis.
+        self.batch_sharding = NamedSharding(mesh, P((data_axis, model_axis)))
         self.replicated = NamedSharding(mesh, P())
 
     @property
@@ -117,10 +125,10 @@ class HybridParallel:
             tree)
 
     def shard_batch(self, x: jax.Array) -> jax.Array:
-        if x.shape[0] % self.n_data:
+        if x.shape[0] % self.n_devices:
             raise ValueError(
-                f"batch size {x.shape[0]} not divisible by data-axis size "
-                f"{self.n_data}")
+                f"batch size {x.shape[0]} not divisible by mesh size "
+                f"{self.n_devices}")
         return jax.device_put(x, self.batch_sharding)
 
     # -- compiled steps ---------------------------------------------------
@@ -141,38 +149,39 @@ class HybridParallel:
             param_specs = state_spec.params
 
             def _per_shard(state, x, target, pdf):
-                salt = (jax.lax.axis_index(data_axis)
+                salt = ((jax.lax.axis_index(data_axis) * n_model
+                         + jax.lax.axis_index(model_axis))
                         if trainer.perturbation_sigma else None)
                 with grid_ops.sharded_tables(model_axis, n_model):
                     loss_value, grads = trainer.loss_value_and_grads(
                         state.params, x, target, pdf, step=state.step,
                         noise_key_salt=salt)
-                # Sharded-table gradient scale: the features psum over
-                # `model`, and psum's transpose is psum — with the loss
-                # replicated across the model axis, each shard's table
-                # cotangent arrives a uniform n_model× too large (every
-                # model rank's identical loss counts once in the
-                # distributed objective).  Divide it back out; the MLP
-                # (downstream of the psum) is unaffected.
+                # Gradient combination (equal shard sizes make every
+                # pmean the exact mean of local-mean losses):
+                # * replicated leaves (MLP, non-grid encodings): each
+                #   rank holds the grad of ITS local loss → pmean over
+                #   the whole mesh, standard flat DP.
+                # * sharded tables: the all_gather transpose already
+                #   summed every model rank's local-loss cotangents
+                #   into the owning shard (Σ_ranks loss), so the grad
+                #   of the group-MEAN loss is that ÷ n_model, then
+                #   pmean over `data`.  No collective touches the
+                #   table rows themselves.
                 grads = jax.tree_util.tree_map(
-                    lambda spec, g: g / n_model
-                    if spec == P(model_axis) else g,
+                    lambda spec, g:
+                    jax.lax.pmean(g, data_axis) / n_model
+                    if spec == P(model_axis)
+                    else jax.lax.pmean(g, (data_axis, model_axis)),
                     param_specs, grads,
                     is_leaf=lambda v: isinstance(v, P))
-                # Loss/grads are means over the local batch; equal
-                # shard sizes make pmean over `data` the exact global
-                # mean.  Over `model` every rank already holds
-                # identical values for the replicated leaves, and the
-                # table-shard gradients are the sharded state's own
-                # rows — no collective on them.
-                loss_value = jax.lax.pmean(loss_value, data_axis)
-                grads = jax.lax.pmean(grads, data_axis)
+                loss_value = jax.lax.pmean(loss_value,
+                                           (data_axis, model_axis))
                 opt_state, params = trainer.optimizer.step(
                     state.opt_state, grads, state.params)
                 return (TrainerState(params=params, opt_state=opt_state,
                                      step=state.step + 1), loss_value)
 
-            P_b = P(data_axis)
+            P_b = P((data_axis, model_axis))
             if with_pdf:
                 return jax.shard_map(
                     _per_shard, mesh=self.mesh,
@@ -210,13 +219,15 @@ class HybridParallel:
 
         cache = {}
 
+        P_b = P((self.data_axis, self.model_axis))
+
         def infer(params, x):
             key = jax.tree_util.tree_structure(params)
             if key not in cache:
                 fn = jax.shard_map(
                     _infer, mesh=self.mesh,
-                    in_specs=(self.specs(params), P(self.data_axis)),
-                    out_specs=P(self.data_axis), check_vma=False)
+                    in_specs=(self.specs(params), P_b),
+                    out_specs=P_b, check_vma=False)
                 cache[key] = jax.jit(fn)
             return cache[key](params, x)
 

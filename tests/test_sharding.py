@@ -311,6 +311,48 @@ class TestHybridTableParallel:
                                  hp.shard_batch(t))
             np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
 
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_second_order_through_sharded_tables(self):
+        """Eikonal-style grad-of-grad (SDF training, the reference's
+        test_grid_bwdbwd use case): d/dtable of mean(|dy/dx|²) through
+        the sharded path must match the unsharded value — the
+        all_gather/psum_scatter pair are linear, so their transposes
+        compose to any differentiation order."""
+        from jax.sharding import PartitionSpec as P
+
+        from tcnn_tpu.ops import grid_ops
+
+        spec = grid_ops.make_grid_spec(
+            n_dims=2, n_levels=3, n_features_per_level=2,
+            log2_hashmap_size=8, base_resolution=4, per_level_scale=1.5)
+        n = 4
+        assert spec.n_entries % n == 0
+        table = jax.random.normal(jax.random.key(0),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(1), (n * 64, 2))
+
+        def eik_loss(t, xx):
+            g = jax.grad(lambda xv: grid_ops.grid_encode(spec, t, xv).sum())(xx)
+            return jnp.mean(g * g)
+
+        g_ref = jax.grad(eik_loss)(table, x)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard):
+            def local(ts):
+                with grid_ops.sharded_tables("model", n):
+                    return eik_loss(ts, x_shard)
+            # Σ_ranks local-mean → group mean: ÷ n (sharded_tables
+            # gradient convention).
+            return jax.grad(local)(t_shard) / n
+
+        g_sh = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh, in_specs=(P("model"), P("model")),
+            out_specs=P("model"), check_vma=False))(table, x)
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-9)
+
     def test_replicated_table_falls_through(self):
         """Under the sharded_tables context a FULL-size table (a grid
         left replicated, e.g. indivisible rows) must compute the
