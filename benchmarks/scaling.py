@@ -138,12 +138,59 @@ def main():
         results[n]["efficiency"] = results[n]["samples_per_sec"] / (n * base)
         print(f"n={n}: efficiency {results[n]['efficiency']:.3f}")
 
+    # Hybrid data × model parallelism on the full mesh: tables
+    # row-shard n_model-ways (the memory-capacity axis), batch stays
+    # flat over all devices.  Reported alongside DP so the artifact
+    # shows the capacity/throughput trade on the same silicon.
+    hybrid = None
+    if n_all >= 4 and n_all % 2 == 0:
+        from tcnn_tpu.parallel import HybridParallel
+
+        n_model = int(os.environ.get("TCNN_SCALING_N_MODEL", 2))
+        hp = HybridParallel(n_model=n_model)
+        _, model = build(n_all)
+        trainer = model.trainer
+        state = hp.shard_state(trainer.initial_state())
+        grid = state.params["encoding"]["grid"]
+        shard_bytes = max(s.data.nbytes for s in grid.addressable_shards)
+        assert shard_bytes * n_model <= grid.nbytes + n_model * 4, (
+            "table not actually sharded")
+        batch = per_device_batch * n_all
+        step = hp.make_training_step(trainer)
+        xk = jax.random.uniform(jax.random.key(2), (batch, 2))
+        tk = jax.random.uniform(jax.random.key(3), (batch, 3))
+        xs, ts = hp.shard_batch(xk), hp.shard_batch(tk)
+        state, _ = jax.block_until_ready(step(state, xs, ts))  # compile
+        times = {}
+        for k in (2, 8):
+            # The step donates its state input — keep chaining the
+            # returned state instead of reusing a consumed buffer.
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, loss = step(state, xs, ts)
+            fetch(loss)
+            times[k] = time.perf_counter() - t0
+        per_step = (times[8] - times[2]) / 6
+        hybrid = {
+            "n_devices": n_all,
+            "n_model": n_model,
+            "samples_per_sec": batch / per_step,
+            "step_ms": per_step * 1e3,
+            "table_bytes_per_device": shard_bytes,
+            "table_bytes_total": grid.nbytes,
+        }
+        print(f"hybrid (data={n_all // n_model} × model={n_model}): "
+              f"{batch / per_step:,.0f} samples/s, table shard "
+              f"{shard_bytes / 1e6:.2f} MB/device of {grid.nbytes / 1e6:.2f} "
+              f"MB total", flush=True)
+
     out = {
         "device": str(jax.devices()[0]),
         "n_devices_available": n_all,
         "per_device_batch": per_device_batch,
         "virtual_cpu_mesh": not bool(real),
         "results": results,
+        "hybrid_table_parallel": hybrid,
     }
     if not real:
         out["note"] = (

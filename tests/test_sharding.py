@@ -353,6 +353,39 @@ class TestHybridTableParallel:
         np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-9)
 
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_per_element_max_level_sharded(self):
+        """The per-sample coarse-to-fine mask (grid.h:69-92) must ride
+        the all_gather with its batch: sharded outputs == unsharded."""
+        from jax.sharding import PartitionSpec as P
+
+        from tcnn_tpu.ops import grid_ops
+
+        spec = grid_ops.make_grid_spec(
+            n_dims=2, n_levels=4, n_features_per_level=2,
+            log2_hashmap_size=8, base_resolution=4, per_level_scale=1.5)
+        n = 4
+        table = jax.random.normal(jax.random.key(0),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(1), (n * 32, 2))
+        frac = jax.random.uniform(jax.random.key(2), (n * 32,))
+        y_ref = grid_ops.grid_encode(spec, table, x,
+                                     max_level_per_element=frac)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard, frac_shard):
+            with grid_ops.sharded_tables("model", n):
+                return grid_ops.grid_encode(
+                    spec, t_shard, x_shard, max_level_per_element=frac_shard)
+
+        y = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model")),
+            out_specs=P("model"), check_vma=False))(table, x, frac)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=5e-8)
+
     def test_replicated_table_falls_through(self):
         """Under the sharded_tables context a FULL-size table (a grid
         left replicated, e.g. indivisible rows) must compute the
