@@ -94,20 +94,33 @@ def _main() -> None:
                         help="global batch size")
     parser.add_argument("--chunk", type=int, default=10,
                         help="training steps per compiled dispatch")
+    parser.add_argument("--n-model", type=int, default=1,
+                        help="row-shard grid tables N-ways over a model "
+                             "mesh axis (hybrid data × model parallelism; "
+                             "1 = pure DP)")
     args = parser.parse_args()
 
     initialize_distributed()
 
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     import tcnn_tpu as tcnn
     from .mesh import DataParallel
 
-    dp = DataParallel()
+    hybrid = args.n_model > 1
+    if hybrid:
+        from .table_parallel import HybridParallel
+
+        dp = HybridParallel(n_model=args.n_model)
+    else:
+        dp = DataParallel()
     if jax.process_index() == 0:
+        extra = (f" (hybrid: tables sharded {args.n_model}-way)"
+                 if hybrid else "")
         print(f"mesh: {dp.n_devices} devices over "
-              f"{jax.process_count()} processes")
+              f"{jax.process_count()} processes{extra}")
 
     model = tcnn.create_from_config(2, 3, {
         "loss": {"otype": "RelativeL2"},
@@ -119,7 +132,15 @@ def _main() -> None:
                     "n_hidden_layers": 2},
     }, policy=tcnn.BF16_POLICY)
     trainer = model.trainer
-    state = dp.replicate(trainer.initial_state())
+    state0 = trainer.initial_state()
+    if hybrid:
+        state = dp.shard_state(state0)
+        state_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(dp.mesh, s), dp.specs(state0),
+            is_leaf=lambda v: isinstance(v, P))
+    else:
+        state = dp.replicate(state0)
+        state_shardings = dp.replicated
 
     # On-device data generation inside one compiled multi-step loop:
     # every chip draws its own (sharded) batch shard, so no host feeding
@@ -130,7 +151,8 @@ def _main() -> None:
     # Pallas kernels (fused MLP, grid matmul/scatter — default-on on
     # TPU) each see a plain local batch; a bare jit+shardings step
     # cannot partition pallas_call (see mesh.py docstring).
-    sm_step = dp.step_shard_map(trainer)
+    sm_step = (dp.step_shard_map(trainer)(state0) if hybrid
+               else dp.step_shard_map(trainer))
 
     def loop(state, key):
         def body(st, i):
@@ -144,8 +166,8 @@ def _main() -> None:
 
         return jax.lax.scan(body, state, jnp.arange(args.chunk))
 
-    jloop = jax.jit(loop, in_shardings=(dp.replicated, None),
-                    out_shardings=(dp.replicated, dp.replicated),
+    jloop = jax.jit(loop, in_shardings=(state_shardings, None),
+                    out_shardings=(state_shardings, dp.replicated),
                     donate_argnums=(0,))
 
     key = jax.random.key(jax.process_count())  # same key on all hosts
