@@ -147,8 +147,8 @@ def main():
         from tcnn_tpu.parallel import HybridParallel
 
         n_model = int(os.environ.get("TCNN_SCALING_N_MODEL", 2))
-        hp = HybridParallel(n_model=n_model)
         _, model = build(n_all)
+        hp = HybridParallel(n_model=n_model, model=model)
         trainer = model.trainer
         state = hp.shard_state(trainer.initial_state())
         grid = state.params["encoding"]["grid"]

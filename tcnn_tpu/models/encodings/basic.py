@@ -329,6 +329,12 @@ class CompositeEncoding(Encoding):
     def param_layout(self, params):
         return tuple(e.param_layout(p) for e, p in zip(self.nested, params))
 
+    def grid_specs(self, prefix: tuple = ()) -> dict:
+        out = {}
+        for i, e in enumerate(self.nested):
+            out.update(e.grid_specs(prefix + (i,)))
+        return out
+
     def apply(self, params, x):
         outs = []
         for enc, p, (begin, nd) in zip(self.nested, params, self.slices):

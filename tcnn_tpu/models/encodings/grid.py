@@ -82,6 +82,9 @@ class GridEncoding(Encoding):
     def n_params(self, params=None):
         return self.spec.n_params
 
+    def grid_specs(self, prefix: tuple = ()) -> dict:
+        return {prefix + ("grid",): self.spec}
+
     def level_params_offset(self, level: int) -> int:
         if level >= self.spec.n_levels:
             return self.spec.n_entries * self.spec.n_features_per_level

@@ -52,6 +52,9 @@ class NetworkWithInputEncoding(Module):
             "network": self.network.param_layout(params["network"]),
         }
 
+    def grid_specs(self, prefix: tuple = ()) -> dict:
+        return self.encoding.grid_specs(prefix + ("encoding",))
+
     @property
     def _use_soa(self) -> bool:
         # SoA (feature-major) hand-off — the encoding's preferred layout

@@ -63,6 +63,15 @@ class Module:
     def n_params(self, params: Params) -> int:
         return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
+    def grid_specs(self, prefix: tuple = ()) -> dict:
+        """``{param_path: GridSpec}`` for every grid table among this
+        module's params (paths as plain key tuples mirroring the params
+        pytree: str for dict keys, int for sequence positions).  Used
+        by the model-parallel layer to row-shard tables
+        (:mod:`tcnn_tpu.parallel.table_parallel`); modules without grid
+        tables return ``{}``, containers merge their children's."""
+        return {}
+
     # ---- compute ----------------------------------------------------
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         """Forward pass: (B, n_input_dims) -> (B, n_output_dims)."""

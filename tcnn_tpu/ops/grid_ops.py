@@ -247,18 +247,46 @@ def _interp_weight(f: jax.Array, interp: InterpolationType) -> jax.Array:
 #
 # The reference is strictly single-GPU, so its hash tables are bounded
 # by one device's memory.  TPU-natively we row-shard each grid table
-# over a mesh axis: under ``sharded_tables(axis, n)`` every
-# ``grid_encode`` call expects its table argument to be THIS shard's
-# contiguous row range (rows [i·N/n, (i+1)·N/n) of the full table on
-# mesh position i along ``axis``), gathers/interpolates only locally
-# owned corner rows (masked weights), and ``psum``s the partial feature
-# columns over the axis.  Each table row is owned by exactly one shard,
-# so the psum reassembles the exact full-table interpolation; autodiff
-# through the masked gather makes the table gradient land ONLY on the
-# owning shard (no collective on the table grads — they are sharded
-# state, like the reference's tables are device state).
+# over a mesh axis in a BLOCK-CYCLIC layout: every LEVEL splits into n
+# equal row blocks, and shard i holds block i of every level
+# (:func:`block_cyclic_perm` maps the canonical flat layout to this
+# one).  The per-shard geometry is therefore STATIC — a shard is just a
+# smaller grid with level sizes size/n — so the production kernels
+# (MXU one-hot matmul, serial Pallas scatter) run per shard unchanged;
+# out-of-shard corners get zero weight and contribute exactly nothing.
+# Each table row is owned by exactly one shard, so the psum_scatter
+# over the axis reassembles the exact full-table interpolation, and
+# autodiff lands each row's gradient ONLY on the owning shard (the
+# table grads are sharded state — no collective of their own).
 _TABLE_SHARDING: contextvars.ContextVar[Optional[Tuple[str, int]]] = \
     contextvars.ContextVar("tcnn_table_sharding", default=None)
+
+
+def shardable_levels(spec: GridSpec, n_shards: int) -> bool:
+    """True iff every level's row count divides ``n_shards`` ways (all
+    levels are 8-row aligned, so 2/4/8 always qualify)."""
+    return all(lv.size % n_shards == 0 for lv in spec.levels)
+
+
+def block_cyclic_perm(spec: GridSpec, n_shards: int) -> np.ndarray:
+    """Flat-element permutation canonical → block-cyclic sharded layout.
+
+    ``new_flat = old_flat[perm]``; shard i of the NamedSharding over the
+    permuted array then holds rows [i·size/n, (i+1)·size/n) of every
+    level, concatenated in level order — the layout
+    :func:`sharded_tables` compute expects.  Apply ``np.argsort(perm)``
+    to invert (for checkpointing/export in the canonical layout).
+    """
+    if not shardable_levels(spec, n_shards):
+        raise ValueError(
+            f"grid not block-cyclic shardable {n_shards} ways: level "
+            f"sizes {[lv.size for lv in spec.levels]}")
+    rows = np.concatenate([
+        np.arange(lv.offset + m * (lv.size // n_shards),
+                  lv.offset + (m + 1) * (lv.size // n_shards))
+        for m in range(n_shards) for lv in spec.levels])
+    f = spec.n_features_per_level
+    return (rows[:, None] * f + np.arange(f)[None, :]).reshape(-1)
 
 
 @contextlib.contextmanager
@@ -267,11 +295,13 @@ def sharded_tables(axis_name: str, n_shards: int):
     over mesh axis ``axis_name`` (use inside :func:`jax.shard_map`).
 
     Under the context, ``grid_encode`` expects (a) its table argument
-    to be this rank's contiguous row shard and (b) its batch argument
-    to be this rank's slice of the model group's batch: it all_gathers
-    the batch, interpolates locally owned rows for all of it, and
-    psum_scatters the partial features so every rank gets exactly its
-    own output columns (downstream compute stays batch-sharded).
+    to be this rank's BLOCK-CYCLIC row shard (block ``i`` of every
+    level — produce it with :func:`block_cyclic_perm`) and (b) its
+    batch argument to be this rank's slice of the model group's batch:
+    it all_gathers the batch, interpolates locally owned rows for all
+    of it, and psum_scatters the partial features so every rank gets
+    exactly its own output columns (downstream compute stays
+    batch-sharded).
 
     Gradient convention: per-rank reverse mode sums every rank's LOCAL
     loss cotangents into the table shards (the all_gather transpose),
@@ -286,46 +316,113 @@ def sharded_tables(axis_name: str, n_shards: int):
         _TABLE_SHARDING.reset(token)
 
 
-def _interpolate_sharded(spec: GridSpec, flat, idx, ws, fc,
-                         axis_name: str, n_shards: int):
+def _interpolate_sharded(spec: GridSpec, live, flat, idx, ws, fc,
+                         axis_name: str, n_shards: int,
+                         fast_scatter: bool):
     """Per-shard interpolation of a row-sharded table + reduce-scatter.
 
-    ``flat`` is the LOCAL shard: rows [sid·R, (sid+1)·R) of the full
-    table (R = n_entries/n_shards), flattened.  ``idx``/``ws`` cover the
-    whole model group's gathered batch (Bg = n_shards·B_local columns).
-    Out-of-shard corners get zero weight and a clipped (in-bounds,
-    value-irrelevant) index; each table row is owned by exactly one
-    shard, so the ``psum_scatter`` over ``axis_name`` both sums the
-    per-shard partial features exactly and hands every rank just ITS
-    B_local output columns (the Megatron-sharded-embedding pattern:
-    the MLP downstream runs batch-sharded over the model axis too).
+    ``flat`` is the LOCAL block-cyclic shard: rows
+    [sid·S_l/n, (sid+1)·S_l/n) of EVERY level l, concatenated in level
+    order (:func:`block_cyclic_perm`).  The shard is therefore itself a
+    valid smaller grid — level sizes S_l/n, offsets O_l/n — with STATIC
+    geometry identical on every rank, so the production kernel dispatch
+    (:func:`_grid_interpolate`: MXU one-hot matmul / serial Pallas
+    pairs) runs per shard unchanged; sharding even IMPROVES routing,
+    since per-shard level sizes shrink n× toward the matmul MAC budget.
+
+    ``idx``/``ws`` cover the whole model group's gathered batch
+    (Bg = n_shards·B_local columns).  Out-of-shard corners get zero
+    weight and a clipped (in-bounds, value-irrelevant) local index;
+    each table row is owned by exactly one shard, so the
+    ``psum_scatter`` over ``axis_name`` both sums the per-shard partial
+    features exactly and hands every rank just ITS B_local output
+    columns (the Megatron-sharded-embedding pattern: the MLP downstream
+    runs batch-sharded over the model axis too).
+
+    Pairing survives sharding: a shard-level block is a contiguous
+    global row range, so dim-0-adjacent corner pairs stay adjacent
+    except across block boundaries — and a boundary-straddling pair has
+    exactly the shape of a level wrap (even corner on the block's last
+    row, odd mass due on SOME block's first row), which the paired
+    kernels' wrap machinery already handles: on the even corner's owner
+    the odd weight is masked to zero (wrap fires vacuously), and on the
+    odd corner's owner the even index is pinned to the shard-level's
+    last row so the wrap correction lands the odd mass on the
+    shard-level's first row — the exact owning row, both for block
+    boundaries and for the true level wrap (idx % size → row 0, owned
+    by shard 0).
     """
     F, C = fc[0], fc[1]
-    rows_total = spec.n_entries
-    if rows_total % n_shards:
+    if not shardable_levels(spec, n_shards):
         raise ValueError(
-            f"sharded_tables: n_entries={rows_total} not divisible by "
-            f"n_shards={n_shards} (levels are 8-row aligned; pick a "
-            f"shard count dividing the total)")
-    rows_local = rows_total // n_shards
+            f"sharded_tables({axis_name}, {n_shards}): level sizes "
+            f"{[lv.size for lv in spec.levels]} do not all divide "
+            f"{n_shards} ways (levels are 8-row aligned; shard counts "
+            f"of 2/4/8 always qualify)")
+    rows_local = spec.n_entries // n_shards
     if flat.size != rows_local * F:
         raise ValueError(
             f"sharded_tables({axis_name}, {n_shards}): expected a local "
             f"table shard of {rows_local * F} params, got {flat.size} "
-            f"(full table is {rows_total * F})")
-    L = idx.shape[0]
+            f"(full table is {spec.n_params})")
     Bg = ws.shape[1]
     if Bg % n_shards:
         raise ValueError(
             f"sharded_tables: gathered batch {Bg} not divisible by "
             f"n_shards={n_shards}")
-    sid = jax.lax.axis_index(axis_name)
-    lo = sid.astype(jnp.int32) * jnp.int32(rows_local)
-    local = idx - lo                                   # (L, C·Bg) int32
-    in_range = (local >= 0) & (local < rows_local)
-    local = jnp.clip(local, 0, rows_local - 1)
-    mask = in_range.reshape(L, C, Bg).reshape(L * C, Bg)
-    cols_partial, _ = _interpolate_ref(flat, local, ws * mask, fc)
+    levels = [spec.levels[li] for li in live]
+    L = len(levels)
+
+    def col3(vals):
+        return jnp.asarray(np.asarray(vals, np.int32).reshape(-1, 1, 1))
+
+    off_g = col3([lv.offset for lv in levels])           # global offsets
+    size_g = col3([lv.size for lv in levels])
+    size_s = col3([lv.size // n_shards for lv in levels])
+    off_s = col3([lv.offset // n_shards for lv in levels])
+    pair_ok = [(not lv.use_hash) or spec.hash_type == HashType.COHERENT_ADD
+               for lv in levels]
+
+    sid = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    idx3 = idx.reshape(L, C, Bg)
+    r = idx3 - off_g                                     # level-local rows
+    lo = sid * size_s
+    in_shard = (r >= lo) & (r < lo + size_s)
+    local = jnp.clip(r - lo, 0, size_s - 1) + off_s
+    if any(pair_ok):
+        # Even-corner wrap pinning (see docstring): where the even
+        # corner is out-of-shard but its odd partner ((r+1) % S, the
+        # universal pairing convention — idx rows carry `% size`) owns
+        # THIS shard's block-first row, point the even index at the
+        # shard-level's last row so the paired kernels' wrap correction
+        # scatters/gathers the odd mass at the block-first row.  The
+        # even weight is already masked to zero, and unpaired/matmul
+        # paths are untouched by construction (w_e = 0 there too).
+        pmask = jnp.asarray(np.asarray(pair_ok, np.bool_)
+                            .reshape(-1, 1, 1))
+        r_e = r[:, 0::2]
+        r_o = jnp.where(r_e == size_g - 1, 0, r_e + 1)
+        in_o = (r_o >= lo) & (r_o < lo + size_s)
+        pin = pmask & ~in_shard[:, 0::2] & in_o
+        local = local.at[:, 0::2].set(
+            jnp.where(pin, off_s + size_s - 1, local[:, 0::2]))
+    idx_l = local.reshape(L, C * Bg)
+    ws_m = (ws.reshape(L, C, Bg)
+            * in_shard.astype(ws.dtype)).reshape(L * C, Bg)
+
+    shard_meta = tuple(
+        (pair_ok[p], lv.size // n_shards, lv.offset // n_shards)
+        for p, lv in enumerate(levels))
+    if fast_scatter:
+        try:
+            cols_partial = _grid_interpolate(flat, idx_l, ws_m, ws_m,
+                                             (F, C, shard_meta))
+        except TypeError as e:  # forward-mode tracer (see grid_encode)
+            if "custom_vjp" not in str(e):
+                raise
+            cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))[0]
+    else:
+        cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))[0]
     return jax.lax.psum_scatter(cols_partial, axis_name,
                                 scatter_dimension=1, tiled=True)
 
@@ -920,9 +1017,12 @@ def grid_encode(
             ws_bwd = ws_bwd * mask_lc
         if sharded_mode:
             # Model-parallel tables (sharded_tables context): ``flat``
-            # is this mesh position's row shard.
-            cols = _interpolate_sharded(spec, flat, idx, ws, (F, C),
-                                        shard_ctx[0], shard_ctx[1])
+            # is this mesh position's block-cyclic row shard, itself a
+            # valid smaller grid — the production kernels run on it
+            # unchanged when fast_scatter is on.
+            cols = _interpolate_sharded(spec, live, flat, idx, ws,
+                                        (F, C), shard_ctx[0],
+                                        shard_ctx[1], fast_scatter)
         elif fast_scatter or spec.stochastic_interpolation:
             # Stochastic interpolation always needs the custom VJP (the
             # scatter weights differ from the forward weights).

@@ -112,14 +112,12 @@ def _main() -> None:
     hybrid = args.n_model > 1
     if hybrid:
         from .table_parallel import HybridParallel
-
-        dp = HybridParallel(n_model=args.n_model)
     else:
         dp = DataParallel()
     if jax.process_index() == 0:
         extra = (f" (hybrid: tables sharded {args.n_model}-way)"
                  if hybrid else "")
-        print(f"mesh: {dp.n_devices} devices over "
+        print(f"mesh: {len(jax.devices())} devices over "
               f"{jax.process_count()} processes{extra}")
 
     model = tcnn.create_from_config(2, 3, {
@@ -134,6 +132,7 @@ def _main() -> None:
     trainer = model.trainer
     state0 = trainer.initial_state()
     if hybrid:
+        dp = HybridParallel(n_model=args.n_model, model=model)
         state = dp.shard_state(state0)
         state_shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(dp.mesh, s), dp.specs(state0),

@@ -9,9 +9,11 @@ TPU-native scaling axis the reference cannot have: a 2-D
   holds distinct samples — MLP and loss compute scale with all chips),
   and
 * every grid ENCODING TABLE (and its optimizer state) is row-sharded
-  over ``model`` — each device holds a contiguous ``n_entries/n_model``
-  row range of each table, so BTF-scale grids (4-D composites at
-  log2_hashmap_size ≥ 21) can exceed a single chip's HBM.
+  over ``model`` in a BLOCK-CYCLIC layout — each device holds rows
+  [i·S_l/n, (i+1)·S_l/n) of EVERY level l (so a shard is itself a
+  valid smaller grid with static geometry and the production Pallas /
+  MXU kernels run on it unchanged) — letting BTF-scale grids (4-D
+  composites at log2_hashmap_size ≥ 21) exceed a single chip's HBM.
 
 Execution model (inside :func:`jax.shard_map`; the Megatron-style
 sharded-embedding pattern): every rank ``all_gather``s its model
@@ -29,13 +31,18 @@ stay replicated with a gradient ``pmean`` over the whole mesh.
 
 Usage::
 
-    hp = HybridParallel(n_model=4)            # all devices, 4-way tables
+    hp = HybridParallel(n_model=4, model=model)  # 4-way tables
     state = hp.shard_state(model.trainer.initial_state())
     step = hp.make_training_step(model.trainer)
     state, loss = step(state, hp.shard_batch(x), hp.shard_batch(y))
+    canonical = hp.gather_state(state)           # for checkpoint/export
 
-Tables whose row count does not divide ``n_model`` (and every non-grid
-parameter) are left replicated automatically.
+``model`` (the module / TrainableModel / Trainer) provides the grid
+specs the block-cyclic permutation needs; tables whose level sizes do
+not all divide ``n_model`` (and every non-grid parameter) are left
+replicated automatically.  The device→host inverse lives in
+:meth:`HybridParallel.gather_state`: checkpoints and reference-format
+exports always see the canonical row order.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,23 +71,54 @@ def make_hybrid_mesh(n_model: int,
     return Mesh(arr, (data_axis, model_axis))
 
 
-def _is_grid_table_path(path) -> bool:
-    """Grid tables are the flat 1-D leaves stored under a 'grid' key
-    (GridEncoding.init); optimizer state mirrors the param tree, so its
-    mu/nu/steps for the table match the same path suffix."""
+def _norm_path(path) -> Tuple:
+    """jax.tree_util key path → plain key tuple (str / int), matching
+    the paths :meth:`tcnn_tpu.module.Module.grid_specs` reports."""
+    out = []
     for entry in path:
-        if isinstance(entry, jax.tree_util.DictKey) and entry.key == "grid":
-            return True
-    return False
+        if isinstance(entry, jax.tree_util.DictKey):
+            out.append(entry.key)
+        elif isinstance(entry, jax.tree_util.SequenceKey):
+            out.append(entry.idx)
+        elif isinstance(entry, jax.tree_util.GetAttrKey):
+            out.append(entry.name)
+        elif isinstance(entry, jax.tree_util.FlattenedIndexKey):
+            out.append(entry.key)
+        else:  # pragma: no cover - future key kinds
+            out.append(str(entry))
+    return tuple(out)
+
+
+def _resolve_module(model):
+    """Accept the module itself, a Trainer, or a TrainableModel."""
+    for attr in ("grid_specs",):
+        if hasattr(model, attr):
+            return model
+    for attr in ("model", "network"):
+        sub = getattr(model, attr, None)
+        if sub is not None and hasattr(sub, "grid_specs"):
+            return sub
+    trainer = getattr(model, "trainer", None)
+    if trainer is not None and hasattr(trainer.model, "grid_specs"):
+        return trainer.model
+    raise TypeError(
+        f"cannot resolve a module with grid_specs() from {type(model)}")
 
 
 class HybridParallel:
-    """Data-parallel batch + model-parallel (row-sharded) grid tables."""
+    """Data-parallel batch + model-parallel (row-sharded) grid tables.
+
+    ``model`` — the module (or its Trainer / TrainableModel bundle) —
+    supplies per-table :class:`GridSpec`s: row-sharding uses the
+    block-cyclic layout (:func:`grid_ops.block_cyclic_perm`), which
+    needs the level geometry.  Without it every table stays replicated.
+    """
 
     def __init__(self, mesh: Optional[Mesh] = None, *,
                  n_model: Optional[int] = None,
                  devices: Optional[Sequence[jax.Device]] = None,
-                 data_axis: str = "data", model_axis: str = "model"):
+                 data_axis: str = "data", model_axis: str = "model",
+                 model: Any = None):
         if mesh is None:
             if n_model is None:
                 raise ValueError("pass a 2-D mesh or n_model")
@@ -99,15 +138,36 @@ class HybridParallel:
         # not just the data axis.
         self.batch_sharding = NamedSharding(mesh, P((data_axis, model_axis)))
         self.replicated = NamedSharding(mesh, P())
+        # {table param path: (GridSpec, block-cyclic perm)} for every
+        # grid whose levels split n_model ways; perms are computed once
+        # (host numpy) and reused for every matching leaf (params AND
+        # the mirrored optimizer moments / wrapper weight copies).
+        self._tables = {}
+        if model is not None and self.n_model > 1:
+            for path, spec in _resolve_module(model).grid_specs().items():
+                if grid_ops.shardable_levels(spec, self.n_model):
+                    self._tables[path] = (
+                        spec, grid_ops.block_cyclic_perm(spec, self.n_model))
 
     @property
     def n_devices(self) -> int:
         return self.mesh.size
 
     # -- sharding specs -------------------------------------------------
+    def _table_perm(self, path, leaf) -> Optional[np.ndarray]:
+        """The table's block-cyclic perm if this leaf is a grid table
+        or one of its per-param mirrors (optimizer moments, wrapper
+        weight copies — their paths END with the param's path)."""
+        if getattr(leaf, "ndim", None) != 1:
+            return None
+        norm = _norm_path(path)
+        for tpath, (spec, perm) in self._tables.items():
+            if norm[-len(tpath):] == tpath and leaf.shape[0] == perm.size:
+                return perm
+        return None
+
     def _leaf_spec(self, path, leaf) -> P:
-        if (_is_grid_table_path(path) and getattr(leaf, "ndim", None) == 1
-                and leaf.shape[0] % self.n_model == 0):
+        if self._table_perm(path, leaf) is not None:
             return P(self.model_axis)
         return P()
 
@@ -119,10 +179,34 @@ class HybridParallel:
 
     # -- placement ------------------------------------------------------
     def shard_state(self, tree: Any) -> Any:
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jax.device_put(
-                leaf, NamedSharding(self.mesh, self._leaf_spec(path, leaf))),
-            tree)
+        """Place a params / opt-state / TrainerState tree on the mesh:
+        grid-table leaves (and their per-param mirrors) are permuted
+        into the block-cyclic device layout and sharded over ``model``;
+        everything else is replicated.  Inverse: :meth:`gather_state`.
+        """
+        def place(path, leaf):
+            perm = self._table_perm(path, leaf)
+            if perm is None:
+                return jax.device_put(
+                    leaf, NamedSharding(self.mesh, P()))
+            return jax.device_put(
+                jnp.asarray(leaf)[perm],
+                NamedSharding(self.mesh, P(self.model_axis)))
+
+        return jax.tree_util.tree_map_with_path(place, tree)
+
+    def gather_state(self, tree: Any) -> Any:
+        """Inverse of :meth:`shard_state`: fully replicated host-order
+        arrays with table leaves back in the canonical row order —
+        what checkpoints and reference-format exports must see."""
+        def unplace(path, leaf):
+            perm = self._table_perm(path, leaf)
+            arr = jax.device_get(leaf)
+            if perm is None:
+                return arr
+            return arr[np.argsort(perm)]
+
+        return jax.tree_util.tree_map_with_path(unplace, tree)
 
     def shard_batch(self, x: jax.Array) -> jax.Array:
         if x.shape[0] % self.n_devices:

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import PartitionSpec as P
 
 import tcnn_tpu as tcnn
 from tcnn_tpu.parallel import (DataParallel, HybridParallel, make_hybrid_mesh,
@@ -227,7 +228,8 @@ class TestHybridTableParallel:
         state_a = model_a.trainer.initial_state()
 
         hp = HybridParallel(n_model=n_model,
-                            devices=jax.devices()[:n_data * n_model])
+                            devices=jax.devices()[:n_data * n_model],
+                            model=model_b)
         assert (hp.n_data, hp.n_model) == (n_data, n_model)
         state_b = hp.shard_state(model_b.trainer.initial_state())
 
@@ -255,16 +257,17 @@ class TestHybridTableParallel:
             # psum in a different order than the corner loop), which
             # Adam's rsqrt amplifies a little over the steps.
             np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
-        # Reassembled sharded tables equal the single-device ones.
+        # Reassembled (gather_state inverts the block-cyclic layout)
+        # sharded tables equal the single-device ones.
         ga = np.asarray(state_a.params["encoding"]["grid"])
-        gb = np.asarray(jax.device_get(state_b.params["encoding"]["grid"]))
-        np.testing.assert_allclose(ga, gb, rtol=5e-3, atol=1e-6)
+        gb = hp.gather_state(state_b).params["encoding"]["grid"]
+        np.testing.assert_allclose(ga, np.asarray(gb), rtol=5e-3, atol=1e-6)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_inference(self):
         model = tcnn.create_from_config(2, 3, config())
         state = model.trainer.initial_state()
-        hp = HybridParallel(n_model=4)
+        hp = HybridParallel(n_model=4, model=model)
         infer = hp.make_inference(model.trainer)
         x = jax.random.uniform(jax.random.key(1), (hp.n_data * 32, 2))
         y = infer(hp.shard_state(state.params), hp.shard_batch(x))
@@ -293,7 +296,7 @@ class TestHybridTableParallel:
         model_a = tcnn.create_from_config(4, 3, cfg)
         model_b = tcnn.create_from_config(4, 3, cfg)
         state_a = model_a.trainer.initial_state()
-        hp = HybridParallel(n_model=2)
+        hp = HybridParallel(n_model=2, model=model_b)
         state_b = hp.shard_state(model_b.trainer.initial_state())
         n_sharded = sum(
             1 for leaf in jax.tree_util.tree_leaves(state_b.params)
@@ -338,6 +341,7 @@ class TestHybridTableParallel:
         g_ref = jax.grad(eik_loss)(table, x)
 
         mesh = make_mesh(jax.devices()[:n], axis_name="model")
+        perm = grid_ops.block_cyclic_perm(spec, n)
 
         def per_shard(t_shard, x_shard):
             def local(ts):
@@ -349,9 +353,10 @@ class TestHybridTableParallel:
 
         g_sh = jax.jit(jax.shard_map(
             per_shard, mesh=mesh, in_specs=(P("model"), P("model")),
-            out_specs=P("model"), check_vma=False))(table, x)
-        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
-                                   rtol=1e-5, atol=1e-9)
+            out_specs=P("model"), check_vma=False))(table[perm], x)
+        # g_sh is in the device (block-cyclic) layout; invert it.
+        np.testing.assert_allclose(np.asarray(g_sh)[np.argsort(perm)],
+                                   np.asarray(g_ref), rtol=1e-5, atol=1e-9)
 
     @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
     def test_per_element_max_level_sharded(self):
@@ -373,6 +378,7 @@ class TestHybridTableParallel:
                                      max_level_per_element=frac)
 
         mesh = make_mesh(jax.devices()[:n], axis_name="model")
+        perm = grid_ops.block_cyclic_perm(spec, n)
 
         def per_shard(t_shard, x_shard, frac_shard):
             with grid_ops.sharded_tables("model", n):
@@ -382,7 +388,7 @@ class TestHybridTableParallel:
         y = jax.jit(jax.shard_map(
             per_shard, mesh=mesh,
             in_specs=(P("model"), P("model"), P("model")),
-            out_specs=P("model"), check_vma=False))(table, x, frac)
+            out_specs=P("model"), check_vma=False))(table[perm], x, frac)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-5, atol=5e-8)
 
@@ -442,3 +448,180 @@ class TestJitShardingsLowering:
             state_a, la = step_a(state_a, x, t)
             state_b, lb = step_b(state_b, x, t)
             np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+class TestShardedTablesWithKernels:
+    """Block-cyclic table shards are themselves valid smaller grids
+    (grid_ops._interpolate_sharded), so the production kernels — the
+    MXU one-hot matmul and the serial Pallas pair/unpaired scatters —
+    run per shard UNCHANGED.  Forced on here (interpret mode on CPU),
+    with routing pinned to each implementation via the MAC-budget env
+    knobs; parity is asserted against the unsharded pure-jnp path,
+    covering block-boundary pairs and level wraps (log2_hashmap_size=6
+    → 64-row levels in 16-row blocks under 512 random samples/rank)."""
+
+    def _spec(self, hash_type=None, grid_type=None, base_resolution=4):
+        from tcnn_tpu.common import GridType, HashType
+
+        from tcnn_tpu.ops import grid_ops
+
+        kw = {}
+        if hash_type is not None:
+            kw["hash_type"] = HashType.from_string(hash_type)
+        if grid_type is not None:
+            kw["grid_type"] = GridType.from_string(grid_type)
+        return grid_ops.make_grid_spec(
+            n_dims=2, n_levels=4, n_features_per_level=2,
+            log2_hashmap_size=6, base_resolution=base_resolution,
+            per_level_scale=1.6, **kw)
+
+    def _data(self, spec, n):
+        table = jax.random.normal(jax.random.key(0),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(1), (n * 512, 2))
+        dy = jax.random.normal(jax.random.key(2),
+                               (n * 512, spec.n_levels
+                                * spec.n_features_per_level))
+        return table, x, dy
+
+    def _route(self, monkeypatch, route):
+        monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
+        budget = "1000000000" if route == "mm" else "0"
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_PAIRED", budget)
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_UNPAIRED", budget)
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    @pytest.mark.parametrize("route", ["mm", "serial"])
+    @pytest.mark.parametrize("variant", [
+        ("CoherentAdd", None, 4),    # paired hash levels (+ true wraps)
+        ("CoherentPrime", None, 4),  # unpaired hash levels
+        (None, "Tiled", 4),          # dense strides + tiled % wraps
+    ])
+    def test_fwd_and_table_grad_parity(self, monkeypatch, route, variant):
+        from tcnn_tpu.ops import grid_ops
+
+        hash_type, grid_type, base_res = variant
+        self._route(monkeypatch, route)
+        spec = self._spec(hash_type, grid_type, base_res)
+        n = 4
+        perm = grid_ops.block_cyclic_perm(spec, n)
+        table, x, dy = self._data(spec, n)
+
+        y_ref = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        g_ref = jax.grad(lambda t: jnp.vdot(
+            grid_ops.grid_encode(spec, t, x, fast_scatter=False),
+            dy))(table)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard, dy_shard):
+            def local(ts):
+                with grid_ops.sharded_tables("model", n):
+                    y = grid_ops.grid_encode(spec, ts, x_shard)
+                # Σ_ranks of the local vdot == the global vdot, so the
+                # table grads need no ÷n here.
+                return jnp.vdot(y, dy_shard), y
+            (_, y), g = jax.value_and_grad(local, has_aux=True)(t_shard)
+            return y, g
+
+        y, g = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model")),
+            out_specs=(P("model"), P("model")), check_vma=False))(
+                table[perm], x, dy)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g)[np.argsort(perm)],
+                                   np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-7)
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_mm_paired_packing_parity(self, monkeypatch):
+        """The pair-packed MXU kernels (TCNN_TPU_MM_PAIRED) must see
+        the same wrap semantics through the shard-level meta."""
+        from tcnn_tpu.ops import grid_ops
+
+        self._route(monkeypatch, "mm")
+        monkeypatch.setenv("TCNN_TPU_MM_PAIRED", "1")
+        spec = self._spec("CoherentAdd")
+        n = 4
+        perm = grid_ops.block_cyclic_perm(spec, n)
+        table, x, dy = self._data(spec, n)
+        g_ref = jax.grad(lambda t: jnp.vdot(
+            grid_ops.grid_encode(spec, t, x, fast_scatter=False),
+            dy))(table)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard, dy_shard):
+            def local(ts):
+                with grid_ops.sharded_tables("model", n):
+                    return jnp.vdot(
+                        grid_ops.grid_encode(spec, ts, x_shard), dy_shard)
+            return jax.grad(local)(t_shard)
+
+        g = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model")),
+            out_specs=P("model"), check_vma=False))(table[perm], x, dy)
+        np.testing.assert_allclose(np.asarray(g)[np.argsort(perm)],
+                                   np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-7)
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_second_order_through_sharded_kernels(self, monkeypatch):
+        """Eikonal grad-of-grad with the kernels engaged per shard."""
+        from tcnn_tpu.ops import grid_ops
+
+        self._route(monkeypatch, "mm")
+        spec = self._spec("CoherentAdd")
+        n = 4
+        perm = grid_ops.block_cyclic_perm(spec, n)
+        table = jax.random.normal(jax.random.key(0),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(1), (n * 512, 2))
+
+        def eik_loss(t, xx, fast):
+            g = jax.grad(lambda xv: grid_ops.grid_encode(
+                spec, t, xv, fast_scatter=fast).sum())(xx)
+            return jnp.mean(g * g)
+
+        g_ref = jax.grad(lambda t: eik_loss(t, x, False))(table)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard):
+            def local(ts):
+                with grid_ops.sharded_tables("model", n):
+                    return eik_loss(ts, x_shard, True)
+            return jax.grad(local)(t_shard) / n
+
+        g = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh, in_specs=(P("model"), P("model")),
+            out_specs=P("model"), check_vma=False))(table[perm], x)
+        np.testing.assert_allclose(np.asarray(g)[np.argsort(perm)],
+                                   np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-8)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_hybrid_step_with_kernels(self, monkeypatch):
+        """End-to-end HybridParallel training step with the production
+        kernels engaged: loss curve matches single-device."""
+        monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
+        cfg = config()
+        cfg["encoding"]["hash"] = "CoherentAdd"
+        model_a = tcnn.create_from_config(2, 3, cfg)
+        model_b = tcnn.create_from_config(2, 3, cfg)
+        state_a = model_a.trainer.initial_state()
+        hp = HybridParallel(n_model=2, model=model_b)
+        state_b = hp.shard_state(model_b.trainer.initial_state())
+        step_b = hp.make_training_step(model_b.trainer)
+        key = jax.random.key(23)
+        for i in range(3):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (hp.n_devices * 512, 2))
+            t = jax.random.uniform(k2, (hp.n_devices * 512, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, hp.shard_batch(x),
+                                 hp.shard_batch(t))
+            np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
