@@ -625,3 +625,84 @@ class TestShardedTablesWithKernels:
             state_b, lb = step_b(state_b, hp.shard_batch(x),
                                  hp.shard_batch(t))
             np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
+
+
+class TestShardedTablesFuzz:
+    """Randomized grid-spec × shard-count parity sweep for the
+    block-cyclic sharded path with kernels engaged — hardens the
+    shard-localization (especially the paired wrap pinning) against
+    shapes beyond the hand-picked cases."""
+
+    def _cases():
+        rng = np.random.RandomState(99)
+        cases = []
+        for _ in range(40):
+            cases.append((
+                int(rng.choice([2, 3])),            # n_dims
+                int(rng.randint(2, 5)),             # n_levels
+                int(rng.choice([1, 2, 4])),         # F
+                int(rng.choice([5, 6, 7])),         # log2_hashmap_size
+                int(rng.choice([3, 4, 5])),         # base_resolution
+                float(rng.choice([1.4, 1.6, 2.0])),
+                str(rng.choice(["Hash", "Tiled", "Dense"])),
+                str(rng.choice(["CoherentAdd", "CoherentPrime", "Prime"])),
+                int(rng.choice([2, 4])),            # n_shards
+                str(rng.choice(["mm", "serial"])),
+            ))
+        # dedupe, keep a manageable subset
+        out = sorted(set(cases))
+        return out[::3][:10]
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    @pytest.mark.parametrize("case", _cases())
+    def test_random_spec_parity(self, monkeypatch, case):
+        from tcnn_tpu.common import GridType, HashType
+        from tcnn_tpu.ops import grid_ops
+
+        (D, L, F, log2, base, pls, gtype, htype, n, route) = case
+        monkeypatch.setenv("TCNN_TPU_FORCE_FAST_SCATTER", "1")
+        budget = "1000000000" if route == "mm" else "0"
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_PAIRED", budget)
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_UNPAIRED", budget)
+        spec = grid_ops.make_grid_spec(
+            n_dims=D, n_levels=L, n_features_per_level=F,
+            log2_hashmap_size=log2, base_resolution=base,
+            per_level_scale=pls, grid_type=GridType.from_string(gtype),
+            hash_type=HashType.from_string(htype))
+        if not grid_ops.shardable_levels(spec, n):
+            pytest.skip(f"level sizes {[lv.size for lv in spec.levels]} "
+                        f"not {n}-shardable (left replicated by design)")
+        perm = grid_ops.block_cyclic_perm(spec, n)
+        table = jax.random.normal(jax.random.key(3),
+                                  (spec.n_params,)) * 1e-2
+        x = jax.random.uniform(jax.random.key(4), (n * 512, D))
+        dy = jax.random.normal(jax.random.key(5), (n * 512, L * F))
+
+        y_ref = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
+        g_ref = jax.grad(lambda t: jnp.vdot(
+            grid_ops.grid_encode(spec, t, x, fast_scatter=False),
+            dy))(table)
+
+        mesh = make_mesh(jax.devices()[:n], axis_name="model")
+
+        def per_shard(t_shard, x_shard, dy_shard):
+            def local(ts):
+                with grid_ops.sharded_tables("model", n):
+                    y = grid_ops.grid_encode(spec, ts, x_shard)
+                return jnp.vdot(y, dy_shard), y
+            (_, y), g = jax.value_and_grad(local, has_aux=True)(t_shard)
+            return y, g
+
+        y, g = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model")),
+            out_specs=(P("model"), P("model")), check_vma=False))(
+                table[perm], x, dy)
+        # Tolerance bounds the mm path's two-term bf16-split error
+        # (~2^-17 relative per pass, a few corners accumulated), which
+        # the unsharded fast path exhibits identically.
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=5e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g)[np.argsort(perm)],
+                                   np.asarray(g_ref),
+                                   rtol=5e-3, atol=1e-6)
