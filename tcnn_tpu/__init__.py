@@ -41,6 +41,7 @@ from .trainer import Trainer, TrainerState
 from .config import (TrainableModel, create_encoding, create_from_config,
                      create_loss, create_network,
                      create_network_with_input_encoding, load_config)
+from . import serving
 from .registry import (register_encoding, register_loss, register_network,
                        register_optimizer)
 
