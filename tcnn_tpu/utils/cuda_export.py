@@ -78,6 +78,9 @@ def export_snapshot(trainer, state, serialize_optimizer: bool = False,
     python ``bytes``; use :func:`save_snapshot` to serialize)."""
     import jax
 
+    from .serialization import check_replicated
+
+    check_replicated(state, "TrainerState")
     params_np = jax.device_get(state.params)
     flat = _flatten_reference_layout(trainer.model, params_np)
     if params_type == "float":

@@ -64,9 +64,23 @@ def tree_from_json(data: Any, like) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def check_replicated(tree, what: str = "state") -> None:
+    """Refuse device-sharded leaves: fetching them would checkpoint the
+    DEVICE layout (e.g. HybridParallel's block-cyclic table order), not
+    the canonical one.  Gather first (``hp.gather_state(state)``)."""
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and not sh.is_fully_replicated:
+            raise ValueError(
+                f"{what} leaf {jax.tree_util.keystr(path)} is device-"
+                f"sharded ({sh}); serialize the canonical layout via "
+                f"HybridParallel.gather_state(state) first")
+
+
 def serialize_trainer(trainer, state, serialize_optimizer: bool = True
                       ) -> Dict[str, Any]:
     """≈ Trainer::serialize (trainer.h:275-288)."""
+    check_replicated(state, "TrainerState")
     data: Dict[str, Any] = {
         "otype": "Trainer",
         "n_params": trainer.model.n_params(state.params),

@@ -706,3 +706,28 @@ class TestShardedTablesFuzz:
         np.testing.assert_allclose(np.asarray(g)[np.argsort(perm)],
                                    np.asarray(g_ref),
                                    rtol=5e-3, atol=1e-6)
+
+
+class TestShardedSerializationGuard:
+    """Checkpoints/exports must see the canonical row order, never the
+    block-cyclic device layout: serializing a sharded state raises
+    with a gather_state pointer; gather_state round-trips exactly."""
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_sharded_state_refused_then_gathered_ok(self):
+        model = tcnn.create_from_config(2, 3, config())
+        hp = HybridParallel(n_model=2, model=model)
+        state0 = model.trainer.initial_state()
+        blob0 = model.trainer.serialize(state0)
+        state = hp.shard_state(state0)
+        with pytest.raises(ValueError, match="gather_state"):
+            model.trainer.serialize(state)
+        from tcnn_tpu.utils import cuda_export
+        with pytest.raises(ValueError, match="gather_state"):
+            cuda_export.export_snapshot(model.trainer, state)
+        gathered = hp.gather_state(state)
+        blob1 = model.trainer.serialize(gathered)
+        a = jax.tree_util.tree_leaves(blob0["params"])
+        b = jax.tree_util.tree_leaves(blob1["params"])
+        for x, y in zip(a, b):
+            assert x == y  # bit-identical canonical order round-trip
