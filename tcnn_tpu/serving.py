@@ -85,6 +85,12 @@ def export_inference(trainer, state, path: Optional[str] = None, *,
     batch_sizes = sorted(set(int(b) for b in batch_sizes))
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"bad batch_sizes {batch_sizes}")
+    from .utils.serialization import check_replicated
+
+    # A device-sharded state (HybridParallel) is in the block-cyclic
+    # layout — baking it into an UNSHARDED artifact would serve wrong
+    # tables.  Gather to canonical order first.
+    check_replicated(state, "TrainerState")
     params = jax.device_get(trainer.inference_params(state))
     model = trainer.model
     n_in, n_out = model.n_input_dims, model.n_output_dims

@@ -725,6 +725,10 @@ class TestShardedSerializationGuard:
         from tcnn_tpu.utils import cuda_export
         with pytest.raises(ValueError, match="gather_state"):
             cuda_export.export_snapshot(model.trainer, state)
+        from tcnn_tpu import serving
+        with pytest.raises(ValueError, match="gather_state"):
+            serving.export_inference(model.trainer, state,
+                                     batch_sizes=(256,))
         gathered = hp.gather_state(state)
         blob1 = model.trainer.serialize(gathered)
         a = jax.tree_util.tree_leaves(blob0["params"])
