@@ -98,6 +98,15 @@ def _main() -> None:
                         help="row-shard grid tables N-ways over a model "
                              "mesh axis (hybrid data × model parallelism; "
                              "1 = pure DP)")
+    parser.add_argument("--ckpt-dir", type=str, default=None,
+                        help="orbax checkpoint directory: auto-resumes "
+                             "from the newest step on startup and saves "
+                             "every --ckpt-every steps (async, sharded "
+                             "leaves written in place by their owning "
+                             "hosts) — restart-based elastic recovery")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="save interval in steps (default: once per "
+                             "compiled chunk)")
     args = parser.parse_args()
 
     initialize_distributed()
@@ -169,6 +178,22 @@ def _main() -> None:
                     out_shardings=(state_shardings, dp.replicated),
                     donate_argnums=(0,))
 
+    # Restart-based elastic recovery (SURVEY.md §5: the reference's
+    # recovery = restart from a serialized snapshot; here the snapshot
+    # is an orbax checkpoint that keeps sharded leaves sharded).
+    mgr = None
+    if args.ckpt_dir:
+        from ..utils import checkpoint as ckpt
+
+        mgr = ckpt.make_manager(
+            args.ckpt_dir, max_to_keep=3,
+            save_interval_steps=args.ckpt_every or args.chunk)
+        resumed = ckpt.restore_latest(mgr, like=state)
+        if resumed is not None:
+            state = resumed
+            if jax.process_index() == 0:
+                print(f"resumed from step {mgr.latest_step()}")
+
     key = jax.random.key(jax.process_count())  # same key on all hosts
     state, losses = jloop(state, jax.random.fold_in(key, 0))
     float(np.asarray(jax.device_get(losses[-1])))  # sync after compile
@@ -177,8 +202,15 @@ def _main() -> None:
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, losses = jloop(state, jax.random.fold_in(key, i + 1))
+        if mgr is not None:
+            from ..utils import checkpoint as ckpt
+
+            ckpt.save_step(mgr, state)  # async; interval-gated
     final = float(np.asarray(jax.device_get(losses[-1])))
     dt = time.perf_counter() - t0
+    if mgr is not None:
+        mgr.wait_until_finished()
+        mgr.close()
     if jax.process_index() == 0:
         sps = n_chunks * args.chunk * args.batch / dt
         print(f"trained {n_chunks * args.chunk} steps of batch "
