@@ -569,11 +569,12 @@ class TestShardedTablesWithKernels:
                                    rtol=1e-3, atol=1e-7)
 
     @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
-    def test_second_order_through_sharded_kernels(self, monkeypatch):
+    @pytest.mark.parametrize("route", ["mm", "serial"])
+    def test_second_order_through_sharded_kernels(self, monkeypatch, route):
         """Eikonal grad-of-grad with the kernels engaged per shard."""
         from tcnn_tpu.ops import grid_ops
 
-        self._route(monkeypatch, "mm")
+        self._route(monkeypatch, route)
         spec = self._spec("CoherentAdd")
         n = 4
         perm = grid_ops.block_cyclic_perm(spec, n)
