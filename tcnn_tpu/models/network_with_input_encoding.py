@@ -65,20 +65,27 @@ class NetworkWithInputEncoding(Module):
         return (getattr(self.encoding, "prefers_soa", False)
                 and getattr(self.network, "accepts_soa_input", False))
 
-    def apply(self, params, x):
+    def apply(self, params, x, **enc_kwargs):
+        # Extra keyword args flow to the encoding — the reference
+        # drives per-encoding runtime knobs (e.g. the per-element
+        # max_level array, grid.h:69-92) through the composed model the
+        # same way (network_with_input_encoding.h:70-81 passes the
+        # forward context straight into the nested encoding).
         if self._use_soa:
-            feats = self.encoding.apply(params["encoding"], x, soa=True)
+            feats = self.encoding.apply(params["encoding"], x, soa=True,
+                                        **enc_kwargs)
             return self.network.apply(params["network"], feats,
                                       input_soa=True)
-        feats = self.encoding.apply(params["encoding"], x)
+        feats = self.encoding.apply(params["encoding"], x, **enc_kwargs)
         return self.network.apply(params["network"], feats)
 
-    def inference(self, params, x):
+    def inference(self, params, x, **enc_kwargs):
         if self._use_soa:
-            feats = self.encoding.inference(params["encoding"], x, soa=True)
+            feats = self.encoding.inference(params["encoding"], x, soa=True,
+                                            **enc_kwargs)
             return self.network.inference(params["network"], feats,
                                           input_soa=True)
-        feats = self.encoding.inference(params["encoding"], x)
+        feats = self.encoding.inference(params["encoding"], x, **enc_kwargs)
         return self.network.inference(params["network"], feats)
 
     def hyperparams(self) -> Dict[str, Any]:
