@@ -91,7 +91,8 @@ def main():
     key = jax.random.key(0)
     state, losses = loop(state, jax.random.fold_in(key, 0))
     fetch(losses)
-    print(f"bench: compile+warmup {time.perf_counter() - t0:.1f}s",
+    compile_warmup_s = time.perf_counter() - t0
+    print(f"bench: compile+warmup {compile_warmup_s:.1f}s",
           file=sys.stderr, flush=True)
 
     # Probe for a sick tunnel worker (rare: a crashed predecessor can
@@ -285,6 +286,7 @@ def main():
         "batch_size": batch_size,
         "n_steps": n_chunks * chunk,
         "train_seconds": round(train_time, 3),
+        "compile_warmup_seconds": round(compile_warmup_s, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
