@@ -27,7 +27,42 @@ import time
 REFERENCE_TRAIN_SAMPLES_PER_SEC = 2.4e8
 
 
+def _probe_devices_or_die(timeout_s: float):
+    """Guard against a dead axon tunnel: jax backend init HANGS (in
+    native code, unkillable from Python) when the tunnel endpoint is
+    unreachable.  Probe `jax.devices()` on a daemon thread; if it
+    doesn't come back in time, print an honest null result line (so the
+    driver records a legible failure instead of a timeout) and exit."""
+    import sys
+    import threading
+
+    box = {}
+
+    def probe():
+        import jax
+        box["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in box:
+        print(f"bench: device init did not complete in {timeout_s:.0f}s "
+              "(dead tunnel?) — reporting null", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "image-fit training throughput (HashGrid L16F2 + "
+                      "FusedMLP 64x2, batch 2^18)",
+            "value": None,
+            "unit": "samples/s",
+            "vs_baseline": None,
+            "error": f"device init timed out after {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable)",
+        }))
+        os._exit(0)
+
+
 def main():
+    _probe_devices_or_die(float(os.environ.get("TCNN_BENCH_INIT_TIMEOUT",
+                                               "600")))
     import jax
     import jax.numpy as jnp
 
