@@ -50,26 +50,12 @@ def slope(make_loop, ks=(4, 16), label=""):
 
 
 def sort_segment_scatter(idx, g, n_rows):
-    """Sort-based deterministic scatter-add (design candidate (b) from
-    the round-2 verdict): sort updates by row, segment-sum runs via
-    cumulative-sum differencing at segment ends, then one scatter of at
-    most n_rows per-row totals.  All XLA ops."""
-    import jax.numpy as jnp
+    """Design candidate (b) — now a shared op so the end-to-end grid
+    route (TCNN_TPU_SCATTER=sortseg) and this standalone bench measure
+    the same code."""
+    from tcnn_tpu.ops.sort_scatter import sort_segment_scatter as impl
 
-    order = jnp.argsort(idx)
-    si = jnp.take(idx, order)
-    sg = jnp.take(g, order, axis=0)
-    cs = jnp.cumsum(sg.astype(jnp.float32), axis=0)
-    is_last = jnp.concatenate([si[1:] != si[:-1], jnp.ones((1,), bool)])
-    # Segment ends in increasing position; ≤ n_rows distinct rows, so
-    # padding with the final position yields zero diffs (exact).
-    end_pos = jnp.nonzero(is_last, size=n_rows,
-                          fill_value=si.shape[0] - 1)[0]
-    ends = jnp.take(cs, end_pos, axis=0)
-    rows = jnp.take(si, end_pos)
-    totals = jnp.concatenate([ends[:1], ends[1:] - ends[:-1]], axis=0)
-    out = jnp.zeros((n_rows, g.shape[1]), jnp.float32)
-    return out.at[rows].add(totals)
+    return impl(idx, g, n_rows)
 
 
 def main(which):
@@ -103,16 +89,21 @@ def main(which):
         return jax.jit(run)
 
     def set_mm(mode):
-        """mode: True/'mm', False/'serial', or 'mmp' (mm + paired)."""
+        """mode: True/'mm', False/'serial', 'mmp' (mm + paired), or
+        'sortseg' (end-to-end sort+segment-sum backward route)."""
         os.environ.pop("TCNN_TPU_DISABLE_MM", None)
         os.environ.pop("TCNN_TPU_MM_PAIRED", None)
+        os.environ.pop("TCNN_TPU_SCATTER", None)
         if mode in (False, "serial"):
             os.environ["TCNN_TPU_DISABLE_MM"] = "1"
         elif mode == "mmp":
             os.environ["TCNN_TPU_MM_PAIRED"] = "1"
+        elif mode == "sortseg":
+            os.environ["TCNN_TPU_SCATTER"] = "sortseg"
 
     # Variant selection via MB_VARIANTS (comma list of
-    # {add,prime}_{mm,mmp,serial}; mmp = pair-packed matmul kernels).
+    # {add,prime}_{mm,mmp,serial,sortseg}; mmp = pair-packed matmul
+    # kernels, sortseg = sort+segment-sum backward).
     # Default keeps the compile count low — remote compiles cost
     # minutes each on the tunnel.
     variants = os.environ.get("MB_VARIANTS", "prime_mm,add_serial").split(",")

@@ -16,6 +16,11 @@ timeout 2400 python -u benchmarks/microbench_r3.py profile
 MB_VARIANTS=add_mm,add_mmp timeout 2400 python -u benchmarks/microbench_r3.py bwd
 MB_VARIANTS=add_mm,add_mmp timeout 2400 python -u benchmarks/microbench_r3.py fwd
 
+# 2b. End-to-end sort+segment route vs the MXU route (ROOFLINE
+#     candidate (b) measured as a full grid backward, not just the
+#     standalone sort primitive)
+MB_VARIANTS=prime_mm,prime_sortseg timeout 2400 python -u benchmarks/microbench_r3.py bwd
+
 # 3. Batch-tile sweep on the scatter (guides TCNN_TPU_MM_TILE default)
 for tile in 2048 4096 8192; do
   TCNN_TPU_MM_TILE=$tile MB_VARIANTS=prime_mm \

@@ -35,6 +35,7 @@ import contextlib
 import contextvars
 import dataclasses
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -849,6 +850,18 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     ws3 = ws_scatter.reshape(n_lvl, c, b)
     dc3 = dcols.reshape(n_lvl, f, b)
 
+    if os.environ.get("TCNN_TPU_SCATTER") == "sortseg":
+        # Design candidate (b) — sort + segment-sum (see
+        # ops/sort_scatter.py).  Kept runnable end-to-end so the
+        # ROOFLINE.md shoot-out stays reproducible; never the default.
+        from .sort_scatter import sort_segment_scatter
+
+        vals = (ws3[:, :, None, :]
+                * dc3[:, None, :, :]).transpose(0, 1, 3, 2).reshape(-1, f)
+        dflat = sort_segment_scatter(
+            idx3.reshape(-1), vals, n_rows).reshape(-1)
+        return _finish_interp_bwd(dflat, flat, idx3, dc3, fc)
+
     mm, serial = _route_levels(fc, flat.dtype, b)
     paired = [i for i in serial if lv_meta[i][0]]
     unpaired = [i for i in serial if not lv_meta[i][0]]
@@ -900,6 +913,14 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
         dflat = part if dflat is None else dflat + part
     if dflat is None:
         dflat = jnp.zeros((n_flat,), jnp.float32)
+    return _finish_interp_bwd(dflat, flat, idx3, dc3, fc)
+
+
+def _finish_interp_bwd(dflat, flat, idx3, dc3, fc):
+    """Shared tail of the interpolate VJP: cotangent dtype + d/dws."""
+    f, c, _ = fc
+    n_lvl, _, b = idx3.shape
+    n_rows = flat.shape[0] // f
     # Cotangent dtype must match the primal table's (bf16 compute
     # copies get bf16 grads — the reference's half grad accumulation,
     # grid.h:655-666; the fp32 masters recover precision at the cast).
@@ -917,7 +938,9 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     # ws_bwd gets a zero cotangent: in the stochastic case it is an
     # indicator (zero derivative a.e.); otherwise it aliases ws whose
     # cotangent is dws.
-    return dflat, None, dws.reshape(lc, b), jnp.zeros((lc, b), jnp.float32)
+    lc = n_lvl * c
+    return (dflat, None, dws.reshape(lc, b),
+            jnp.zeros((lc, b), jnp.float32))
 
 
 _grid_interpolate.defvjp(_grid_interpolate_vjp_fwd, _grid_interpolate_vjp_bwd)
