@@ -88,9 +88,15 @@ def _round_up(x: int, m: int) -> int:
 
 def batch_tile(b: int) -> int:
     """Largest power-of-two tile ≤ the tile budget dividing b; 0 = no
-    tile (caller falls back to an XLA path)."""
+    tile (caller falls back to an XLA path).
+
+    The env budget is rounded DOWN to a power of two first: the grid
+    is ``b // tile`` programs, so a non-divisor tile would silently
+    skip the batch tail (wrong numerics, no error)."""
+    budget = _def_tile()
+    budget = 1 << (budget.bit_length() - 1) if budget >= 1 else 0
     p2 = b & (-b)
-    t = min(_def_tile(), p2)
+    t = min(budget, p2)
     return t if t >= 512 else 0
 
 

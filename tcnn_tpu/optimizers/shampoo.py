@@ -93,24 +93,30 @@ class Shampoo(Optimizer):
         self._layout = layout
         flat, treedef = jax.tree_util.tree_flatten(params)
         kinds = treedef.flatten_up_to(layout)
-        per_leaf = []
+        # State mirrors the PARAMS tree (mu/nu per leaf, matrix-only
+        # preconditioner dicts in a parallel tree) rather than a
+        # positionally-keyed list: mirrored paths end with the param's
+        # own path, which is what lets HybridParallel row-shard a grid
+        # table's mu/nu alongside the table itself.
+        per_mat = []
         for p, kind in zip(flat, kinds):
-            st = {
-                "mu": jnp.zeros(p.shape, jnp.float32),
-                "nu": jnp.zeros(p.shape, jnp.float32),
-            }
             if kind == "matrix" and p.ndim == 2:
                 m, n = p.shape
-                st.update({
+                per_mat.append({
                     "L": jnp.zeros((m, m), jnp.float32),
                     "R": jnp.zeros((n, n), jnp.float32),
                     "L_root": jnp.eye(m, dtype=jnp.float32),
                     "R_root": jnp.eye(n, dtype=jnp.float32),
                     "shampoo_mu": jnp.zeros(p.shape, jnp.float32),
                 })
-            per_leaf.append(st)
+            else:
+                per_mat.append({})
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), tree)
         self._treedef = treedef
-        return {"leaves": tuple(per_leaf), "step": jnp.zeros((), jnp.uint32)}
+        return {"mu": zeros(params), "nu": zeros(params),
+                "mat": treedef.unflatten(per_mat),
+                "step": jnp.zeros((), jnp.uint32)}
 
     def _debias(self, beta: float, t):
         """(alpha, beta) pair of the reference's debiased EMA: the stored
@@ -138,15 +144,19 @@ class Shampoo(Optimizer):
         flat_p = treedef.flatten_up_to(params)
         flat_g = treedef.flatten_up_to(grads)
         kinds = treedef.flatten_up_to(self._layout)
+        flat_mu = treedef.flatten_up_to(state["mu"])
+        flat_nu = treedef.flatten_up_to(state["nu"])
+        flat_mat = treedef.flatten_up_to(state["mat"])
 
-        new_leaves, new_p = [], []
-        for p, g, st, kind in zip(flat_p, flat_g, state["leaves"], kinds):
+        new_mu, new_nu, new_mat, new_p = [], [], [], []
+        for p, g, mu0, nu0, st, kind in zip(flat_p, flat_g, flat_mu,
+                                            flat_nu, flat_mat, kinds):
             g = g.astype(jnp.float32) + self.l2_reg * p.astype(jnp.float32)
             p32 = p.astype(jnp.float32)
-            mu = b1 * st["mu"] + a1 * g
-            nu = b2 * st["nu"] + a2 * g * g
+            mu = b1 * mu0 + a1 * g
+            nu = b2 * nu0 + a2 * g * g
             momentum = mu / (jnp.sqrt(nu) + self.epsilon)
-            st2 = dict(st, mu=mu, nu=nu)
+            st2 = dict(st)
 
             if "L" in st and p.ndim == 2:
                 src = momentum if self.cg_on_momentum else g
@@ -182,9 +192,13 @@ class Shampoo(Optimizer):
             decayed = weight_decay(self.relative_decay * lr_eff,
                                    self.absolute_decay * lr_eff, p32)
             new_p.append((decayed - lr_eff * update).astype(p.dtype))
-            new_leaves.append(st2)
+            new_mu.append(mu)
+            new_nu.append(nu)
+            new_mat.append(st2)
 
-        return ({"leaves": tuple(new_leaves), "step": t},
+        return ({"mu": treedef.unflatten(new_mu),
+                 "nu": treedef.unflatten(new_nu),
+                 "mat": treedef.unflatten(new_mat), "step": t},
                 treedef.unflatten(new_p))
 
     @property

@@ -89,11 +89,17 @@ def _norm_path(path) -> Tuple:
     return tuple(out)
 
 
+def _tree_key(tree) -> Tuple:
+    """Cache key for spec-dependent wrappers: tree structure plus every
+    leaf's shape (the PartitionSpecs are shape-dependent)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return treedef, tuple(getattr(l, "shape", ()) for l in leaves)
+
+
 def _resolve_module(model):
     """Accept the module itself, a Trainer, or a TrainableModel."""
-    for attr in ("grid_specs",):
-        if hasattr(model, attr):
-            return model
+    if hasattr(model, "grid_specs"):
+        return model
     for attr in ("model", "network"):
         sub = getattr(model, attr, None)
         if sub is not None and hasattr(sub, "grid_specs"):
@@ -138,37 +144,42 @@ class HybridParallel:
         # not just the data axis.
         self.batch_sharding = NamedSharding(mesh, P((data_axis, model_axis)))
         self.replicated = NamedSharding(mesh, P())
-        # {table param path: (GridSpec, block-cyclic perm)} for every
-        # grid whose levels split n_model ways; perms are computed once
-        # (host numpy) and reused for every matching leaf (params AND
-        # the mirrored optimizer moments / wrapper weight copies).
+        # {table param path: (GridSpec, block-cyclic perm, inverse
+        # perm)} for every grid whose levels split n_model ways; perms
+        # are computed once (host numpy) and reused for every matching
+        # leaf (params AND the mirrored optimizer moments / wrapper
+        # weight copies).
         self._tables = {}
         if model is not None and self.n_model > 1:
             for path, spec in _resolve_module(model).grid_specs().items():
                 if grid_ops.shardable_levels(spec, self.n_model):
-                    self._tables[path] = (
-                        spec, grid_ops.block_cyclic_perm(spec, self.n_model))
+                    perm = grid_ops.block_cyclic_perm(spec, self.n_model)
+                    self._tables[path] = (spec, perm, np.argsort(perm))
 
     @property
     def n_devices(self) -> int:
         return self.mesh.size
 
     # -- sharding specs -------------------------------------------------
-    def _table_perm(self, path, leaf) -> Optional[np.ndarray]:
-        """The table's block-cyclic perm if this leaf is a grid table
-        or one of its per-param mirrors (optimizer moments, wrapper
-        weight copies — their paths END with the param's path)."""
-        if getattr(leaf, "ndim", None) != 1:
+    def _table_perm(self, path, leaf) -> Optional[Tuple]:
+        """``(perm, inverse_perm)`` if this leaf is a grid table or one
+        of its per-param mirrors (optimizer moments, wrapper weight
+        copies / ring buffers — their paths END with the param's path).
+        Mirrors may carry leading batch-like axes (e.g. the Average
+        optimizer's ``(n_samples, N)`` ring buffer): the table rows are
+        always the LAST axis."""
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim < 1:
             return None
         norm = _norm_path(path)
-        for tpath, (spec, perm) in self._tables.items():
-            if norm[-len(tpath):] == tpath and leaf.shape[0] == perm.size:
-                return perm
+        for tpath, (spec, perm, inv) in self._tables.items():
+            if norm[-len(tpath):] == tpath and leaf.shape[-1] == perm.size:
+                return perm, inv
         return None
 
     def _leaf_spec(self, path, leaf) -> P:
         if self._table_perm(path, leaf) is not None:
-            return P(self.model_axis)
+            return P(*([None] * (leaf.ndim - 1)), self.model_axis)
         return P()
 
     def specs(self, tree: Any) -> Any:
@@ -185,13 +196,14 @@ class HybridParallel:
         everything else is replicated.  Inverse: :meth:`gather_state`.
         """
         def place(path, leaf):
-            perm = self._table_perm(path, leaf)
-            if perm is None:
+            hit = self._table_perm(path, leaf)
+            if hit is None:
                 return jax.device_put(
                     leaf, NamedSharding(self.mesh, P()))
+            perm, _ = hit
             return jax.device_put(
-                jnp.asarray(leaf)[perm],
-                NamedSharding(self.mesh, P(self.model_axis)))
+                jnp.asarray(leaf)[..., perm],
+                NamedSharding(self.mesh, self._leaf_spec(path, leaf)))
 
         return jax.tree_util.tree_map_with_path(place, tree)
 
@@ -200,11 +212,11 @@ class HybridParallel:
         arrays with table leaves back in the canonical row order —
         what checkpoints and reference-format exports must see."""
         def unplace(path, leaf):
-            perm = self._table_perm(path, leaf)
+            hit = self._table_perm(path, leaf)
             arr = jax.device_get(leaf)
-            if perm is None:
+            if hit is None:
                 return arr
-            return arr[np.argsort(perm)]
+            return arr[..., hit[1]]
 
         return jax.tree_util.tree_map_with_path(unplace, tree)
 
@@ -286,7 +298,10 @@ class HybridParallel:
         cache = {}
 
         def step(state, *batch):
-            key = jax.tree_util.tree_structure(state)
+            # Key on structure AND leaf shapes: the in_specs depend on
+            # leaf.shape (table-size match), so two states with equal
+            # treedefs but different table sizes must not share specs.
+            key = _tree_key(state)
             if key not in cache:
                 cache[key] = jax.jit(make(state), donate_argnums=(0,))
             return cache[key](state, *batch)
@@ -306,7 +321,7 @@ class HybridParallel:
         P_b = P((self.data_axis, self.model_axis))
 
         def infer(params, x):
-            key = jax.tree_util.tree_structure(params)
+            key = _tree_key(params)
             if key not in cache:
                 fn = jax.shard_map(
                     _infer, mesh=self.mesh,

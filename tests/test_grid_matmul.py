@@ -216,6 +216,17 @@ class TestKernelUnits:
         assert gm.batch_tile(768) == 0   # largest pow2 divisor 256
         assert gm.batch_tile(100) == 0
 
+    def test_batch_tile_env_non_power_of_two(self, monkeypatch):
+        """A free-form TCNN_TPU_MM_TILE must never yield a non-divisor
+        tile (the kernel grid would silently skip the batch tail)."""
+        monkeypatch.setenv("TCNN_TPU_MM_TILE", "3000")
+        t = gm.batch_tile(4096)
+        assert t == 2048 and 4096 % t == 0
+        monkeypatch.setenv("TCNN_TPU_MM_TILE", "513")
+        assert gm.batch_tile(4096) == 512   # floors to 512
+        monkeypatch.setenv("TCNN_TPU_MM_TILE", "0")
+        assert gm.batch_tile(4096) == 0
+
 
 class TestMergedClasses:
     """Merged mode: several small levels share ONE virtual table block

@@ -420,6 +420,59 @@ class TestHybridTableParallel:
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    @pytest.mark.parametrize("opt_cfg", [
+        {"otype": "Shampoo", "learning_rate": 1e-2},
+        {"otype": "Average", "n_samples": 3,
+         "nested": {"otype": "Adam", "learning_rate": 1e-2}},
+    ])
+    def test_nontrivial_optimizer_state_shards(self, opt_cfg):
+        """Optimizer states whose mirrors are NOT flat Adam-style trees
+        must still train with sharded tables: Shampoo (params-mirrored
+        mu/nu + matrix-only preconditioners) and Average (ring buffer
+        with a leading n_samples axis, table rows on the LAST axis)."""
+        cfg = dict(config(), optimizer=opt_cfg)
+        model_a = tcnn.create_from_config(2, 3, cfg)
+        model_b = tcnn.create_from_config(2, 3, cfg)
+        state_a = model_a.trainer.initial_state()
+        hp = HybridParallel(n_model=2, devices=jax.devices()[:4],
+                            model=model_b)
+        state_b = hp.shard_state(model_b.trainer.initial_state())
+
+        # The table's state mirrors must be sharded like the table.
+        grid = state_b.params["encoding"]["grid"]
+        n = grid.shape[0]
+        if opt_cfg["otype"] == "Shampoo":
+            mu = state_b.opt_state["mu"]["encoding"]["grid"]
+            assert {s.data.shape for s in mu.addressable_shards} == \
+                {(n // 2,)}
+        else:
+            buf = state_b.opt_state["buffer"]["encoding"]["grid"]
+            assert buf.shape == (3, n)
+            assert {s.data.shape for s in buf.addressable_shards} == \
+                {(3, n // 2)}
+
+        step_b = hp.make_training_step(model_b.trainer)
+        key = jax.random.key(5)
+        for i in range(3):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = jax.random.uniform(k1, (128, 2))
+            t = jax.random.uniform(k2, (128, 3))
+            state_a, la = model_a.trainer.training_step(state_a, x, t)
+            state_b, lb = step_b(state_b, hp.shard_batch(x),
+                                 hp.shard_batch(t))
+            np.testing.assert_allclose(float(la), float(lb), rtol=5e-4)
+        ga = np.asarray(state_a.params["encoding"]["grid"])
+        gathered = hp.gather_state(state_b)
+        gb = gathered.params["encoding"]["grid"]
+        np.testing.assert_allclose(ga, np.asarray(gb), rtol=5e-3, atol=1e-6)
+        if opt_cfg["otype"] == "Average":
+            # Ring buffer gathers back to canonical row order too.
+            ba = np.asarray(
+                state_a.opt_state["buffer"]["encoding"]["grid"])
+            bb = np.asarray(gathered.opt_state["buffer"]["encoding"]["grid"])
+            np.testing.assert_allclose(ba, bb, rtol=5e-3, atol=1e-6)
+
     def test_bad_mesh_raises(self):
         if len(jax.devices()) % 3:
             with pytest.raises(ValueError, match="divisible"):
