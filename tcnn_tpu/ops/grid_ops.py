@@ -902,10 +902,7 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
         part = scatter_add_weighted_pairs(
             idx_e.reshape(-1), w_e.reshape(-1), w_o_in.reshape(-1),
             dc_p.reshape(-1, b), n_rows, f, c // 2)
-        w_wrap = jnp.where(wrap, w_o, 0.0)    # (Lp, C/2, B)
-        corr = jnp.stack(
-            [jnp.sum(w_wrap * dc_p[:, None, k, :], axis=(1, 2))
-             for k in range(f)], axis=1)      # (Lp, F)
+        corr = gm.level_wrap_correction(w_o, wrap, dc_p, f)  # (Lp, F)
         tgt = jnp.asarray(np.array(
             [lv_meta[i][2] * f + k for i in paired
              for k in range(f)], np.int32))
@@ -929,12 +926,12 @@ def _finish_interp_bwd(dflat, flat, idx3, dc3, fc):
     # d/dws[l,c,b] = Σ_k dcols[l·F+k, b] · feats[l,c,b,k] — feats
     # re-gathered lazily from the table (only needed for input
     # gradients; XLA dead-code-eliminates the takes when dx is unused).
+    from .pallas import grid_matmul as gm
+
     table2d = flat.reshape(n_rows, f).astype(jnp.float32)
     fr = jnp.stack([jnp.take(table2d, idx3[l], axis=0)
                     for l in range(n_lvl)], axis=0)   # (L, C, B, F)
-    dws = fr[..., 0] * dc3[:, None, 0, :]
-    for k in range(1, f):
-        dws = dws + fr[..., k] * dc3[:, None, k, :]
+    dws = gm.feats_dot_ct(fr, dc3, f)
     # ws_bwd gets a zero cotangent: in the stochastic case it is an
     # indicator (zero derivative a.e.); otherwise it aliases ws whose
     # cotangent is dws.

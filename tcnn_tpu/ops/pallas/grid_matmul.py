@@ -643,6 +643,27 @@ def _pair_split(idx_local, w, sizes, c):
     return idx_e, w_e, w_o, w_o_in, wrap
 
 
+def level_wrap_correction(w_o, wrap, dc3, f):
+    """(L, F) wrapped odd-corner mass per level: Σ_{pairs,batch}
+    w_o·dcols where the pair wraps (odd corner past the level's last
+    row lands on its FIRST row).  Shared by the MXU paired scatter and
+    the serial pair kernels' wrap fix-up in grid_ops — the single
+    definition of the wrap convention's value math."""
+    w_wrap = jnp.where(wrap, w_o, 0.0)             # (L, C/2, B)
+    return jnp.stack(
+        [jnp.sum(w_wrap * dc3[:, None, k, :], axis=(1, 2))
+         for k in range(f)], axis=1)               # (L, F)
+
+
+def feats_dot_ct(fr, ct3, f):
+    """d/dw of the interpolation: Σ_k feats[l,c,b,k]·ct[l,k,b] →
+    (L, C, B).  fr is (L, C, B, F), ct3 is (L, F, B)."""
+    dw = fr[..., 0] * ct3[:, None, 0, :]
+    for k in range(1, f):
+        dw = dw + fr[..., k] * ct3[:, None, k, :]
+    return dw
+
+
 def _lazy_feats(flat, idx_local, offsets, f, c):
     """(Lg, C, B, F) gathered features — jnp takes, DCE'd when the
     consumer (input gradients / second order) is unused."""
@@ -699,10 +720,7 @@ def _mm_gather_bwd(sizes, offsets, f, c, r_pad, merged, paired, res, ct):
     fr = _lazy_feats(flat, idx_local, offsets, f, c)
     lg = len(sizes)
     b = w.shape[1]
-    ct3 = ct.reshape(lg, f, b)
-    dw = fr[..., 0] * ct3[:, None, 0, :]
-    for k in range(1, f):
-        dw = dw + fr[..., k] * ct3[:, None, k, :]
+    dw = feats_dot_ct(fr, ct.reshape(lg, f, b), f)
     return dflat, None, dw.reshape(lg * c, b)
 
 
@@ -752,10 +770,7 @@ def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
     part = assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
     # Level-wrap: wrapped odd mass lands on each level's FIRST row.
     dc3 = dcols.astype(jnp.float32).reshape(n_lvl, f, b)
-    w_wrap = jnp.where(wrap, w_o, 0.0)             # (n_lvl, cp, B)
-    corr = jnp.stack(
-        [jnp.sum(w_wrap * dc3[:, None, k, :], axis=(1, 2))
-         for k in range(f)], axis=1)               # (n_lvl, F)
+    corr = level_wrap_correction(w_o, wrap, dc3, f)  # (n_lvl, F)
     tgt = jnp.asarray(np.array(
         [offsets[l] * f + k for l in range(n_lvl) for k in range(f)],
         np.int32))
@@ -778,9 +793,7 @@ def _mm_scatter_bwd(sizes, offsets, f, c, r_pad, n_flat, value_dtype_str,
     b = w.shape[1]
     g = _lazy_feats(ct_flat, idx_local, offsets, f, c)  # (Lg, C, B, F)
     dc3 = dcols.reshape(lg, f, b).astype(jnp.float32)
-    dw = g[..., 0] * dc3[:, None, 0, :]
-    for k in range(1, f):
-        dw = dw + g[..., k] * dc3[:, None, k, :]
+    dw = feats_dot_ct(g, dc3, f)
     wr = w.reshape(lg, c, b).astype(jnp.float32)
     ddc = jnp.stack([jnp.sum(wr * g[..., k], axis=1) for k in range(f)],
                     axis=1).reshape(lg * f, b)
