@@ -182,17 +182,29 @@ def _main() -> None:
     # recovery = restart from a serialized snapshot; here the snapshot
     # is an orbax checkpoint that keeps sharded leaves sharded).
     mgr = None
+    resume_step = 0
     if args.ckpt_dir:
         from ..utils import checkpoint as ckpt
 
-        mgr = ckpt.make_manager(
-            args.ckpt_dir, max_to_keep=3,
-            save_interval_steps=args.ckpt_every or args.chunk)
+        # The tables' block-cyclic row order is baked into the saved
+        # arrays; refuse to resume under a different layout.
+        ckpt.check_layout_tag(args.ckpt_dir, {"n_model": args.n_model})
+        # Steps are only visited at chunk granularity; orbax's interval
+        # policy is `step % interval == 0`, so a non-multiple interval
+        # would save rarely or never — round up to a chunk multiple.
+        every = args.ckpt_every or args.chunk
+        every_r = ((every + args.chunk - 1) // args.chunk) * args.chunk
+        if every_r != every and jax.process_index() == 0:
+            print(f"ckpt-every {every} rounded up to {every_r} "
+                  f"(chunk multiple)")
+        mgr = ckpt.make_manager(args.ckpt_dir, max_to_keep=3,
+                                save_interval_steps=every_r)
         resumed = ckpt.restore_latest(mgr, like=state)
         if resumed is not None:
             state = resumed
+            resume_step = int(mgr.latest_step())
             if jax.process_index() == 0:
-                print(f"resumed from step {mgr.latest_step()}")
+                print(f"resumed from step {resume_step}")
 
     key = jax.random.key(jax.process_count())  # same key on all hosts
     state, losses = jloop(state, jax.random.fold_in(key, 0))
@@ -203,9 +215,12 @@ def _main() -> None:
     for i in range(n_chunks):
         state, losses = jloop(state, jax.random.fold_in(key, i + 1))
         if mgr is not None:
-            from ..utils import checkpoint as ckpt
-
-            ckpt.save_step(mgr, state)  # async; interval-gated
+            # Step computed on the host (warmup chunk + i+1 bench
+            # chunks past the resume point): reading state.step back
+            # would force a device sync every chunk and serialize
+            # dispatch with compute.
+            ckpt.save_step(mgr, state,
+                           step=resume_step + (i + 2) * args.chunk)
     final = float(np.asarray(jax.device_get(losses[-1])))
     dt = time.perf_counter() - t0
     if mgr is not None:

@@ -55,6 +55,8 @@ def default_buckets(max_batch: int, min_batch: int = 256) -> Tuple[int, ...]:
     """Power-of-two bucket ladder [min_batch .. ≥max_batch]."""
     if max_batch < 1:
         raise ValueError("max_batch must be positive")
+    if min_batch < 1:
+        raise ValueError("min_batch must be positive")
     out = []
     b = int(min_batch)
     while True:
@@ -142,6 +144,12 @@ class ServingModel:
         self.batch_sizes = sorted(int(b) for b in meta["batch_sizes"])
         self.platforms = tuple(meta.get("platforms", ()))
         self._input_dtype = np.dtype(meta.get("input_dtype", "float32"))
+        missing = set(self.batch_sizes) - set(artifacts)
+        if missing:
+            raise ValueError(
+                f"bundle meta lists buckets {self.batch_sizes} but is "
+                f"missing artifacts for {sorted(missing)} — truncated or "
+                "hand-assembled bundle")
         self._fns = {
             b: jax.jit(jax_export.deserialize(blob).call)
             for b, blob in artifacts.items()

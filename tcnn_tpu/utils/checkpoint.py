@@ -44,6 +44,45 @@ def _abs(path: str) -> str:
     return os.path.abspath(os.fspath(path))
 
 
+def _abstract_like(like: Any) -> Any:
+    """Abstract pytree carrying shapes/dtypes AND target shardings."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+        if hasattr(x, "shape") else x, like)
+
+
+_LAYOUT_NAME = "table_layout.json"
+
+
+def check_layout_tag(directory: str, layout: dict) -> None:
+    """Record/validate the table layout baked into checkpointed arrays.
+
+    A :class:`HybridParallel` run checkpoints grid tables in its
+    block-cyclic device row order, so a checkpoint is only meaningful
+    under the SAME layout (e.g. the same ``n_model``).  First call
+    writes ``table_layout.json`` beside the checkpoints (process 0);
+    later calls raise if ``layout`` differs — resuming with a different
+    ``--n-model`` would silently restore permuted tables otherwise.
+    """
+    import json
+
+    path = os.path.join(_abs(directory), _LAYOUT_NAME)
+    if os.path.exists(path):
+        with open(path) as fh:
+            recorded = json.load(fh)
+        if recorded != layout:
+            raise ValueError(
+                f"checkpoint dir {directory} was written with table "
+                f"layout {recorded}, but this run uses {layout}; "
+                "resuming would silently restore permuted grid tables. "
+                "Use a fresh --ckpt-dir or match the recorded layout.")
+    elif jax.process_index() == 0:
+        os.makedirs(_abs(directory), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(layout, fh)
+
+
 def save_checkpoint(path: str, state: Any, *, force: bool = True) -> None:
     """Write ``state`` (any pytree; sharded leaves stay sharded) to
     ``path`` (a directory), blocking until durable."""
@@ -61,12 +100,8 @@ def restore_checkpoint(path: str, like: Any) -> Any:
     hybrid run) and each leaf lands directly on its devices.
     """
     ocp = _ocp()
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(
-            x.shape, x.dtype, sharding=getattr(x, "sharding", None))
-        if hasattr(x, "shape") else x, like)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(_abs(path), abstract)
+        return ckptr.restore(_abs(path), _abstract_like(like))
 
 
 def make_manager(directory: str, *, max_to_keep: int = 3,
@@ -103,8 +138,5 @@ def restore_latest(manager, like: Any) -> Optional[Any]:
     if step is None:
         return None
     manager.wait_until_finished()
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(
-            x.shape, x.dtype, sharding=getattr(x, "sharding", None))
-        if hasattr(x, "shape") else x, like)
-    return manager.restore(step, args=ocp.args.StandardRestore(abstract))
+    return manager.restore(
+        step, args=ocp.args.StandardRestore(_abstract_like(like)))

@@ -105,3 +105,10 @@ class TestCheckpoint:
         assert ckpt.restore_latest(
             mgr, like=model.trainer.initial_state()) is None
         mgr.close()
+
+    def test_layout_tag_records_then_refuses_mismatch(self, tmp_path):
+        d = str(tmp_path / "tagged")
+        ckpt.check_layout_tag(d, {"n_model": 2})      # records
+        ckpt.check_layout_tag(d, {"n_model": 2})      # same: ok
+        with pytest.raises(ValueError, match="permuted grid tables"):
+            ckpt.check_layout_tag(d, {"n_model": 4})  # mismatch

@@ -102,3 +102,30 @@ class TestServing:
         assert serving.default_buckets(1 << 18, 1 << 14) == (
             1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18)
         assert serving.default_buckets(300, 256) == (256, 512)
+        with pytest.raises(ValueError, match="min_batch"):
+            serving.default_buckets(1024, 0)     # would loop forever
+        with pytest.raises(ValueError, match="min_batch"):
+            serving.default_buckets(1024, -2)
+        with pytest.raises(ValueError, match="max_batch"):
+            serving.default_buckets(0)
+
+    def test_truncated_bundle_rejected_at_load(self):
+        """meta lists a bucket whose artifact is missing → clear
+        load-time error, not a KeyError at request time."""
+        import io
+        import json
+        import zipfile
+
+        model = _model()
+        state = model.trainer.initial_state()
+        blob = serving.export_inference(model.trainer, state,
+                                        batch_sizes=(64, 256))
+        src = io.BytesIO(blob)
+        out = io.BytesIO()
+        with zipfile.ZipFile(src) as zin, \
+                zipfile.ZipFile(out, "w") as zout:
+            for name in zin.namelist():
+                if name != "batch_256.jaxexport":
+                    zout.writestr(name, zin.read(name))
+        with pytest.raises(ValueError, match="missing artifacts"):
+            serving.load_inference(out.getvalue())
