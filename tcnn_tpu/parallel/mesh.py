@@ -21,11 +21,9 @@ DataParallel (standard JAX runtime; DCN handled by the same mesh).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -34,6 +32,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis_name: str = "data") -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch_over(x: jax.Array, sharding: NamedSharding,
+                     n_devices: int) -> jax.Array:
+    """Place a (B, ...) array batch-sharded; shared by DataParallel and
+    HybridParallel so the divisibility contract lives in one place."""
+    if x.shape[0] % n_devices:
+        raise ValueError(
+            f"batch size {x.shape[0]} not divisible by mesh size "
+            f"{n_devices}")
+    return jax.device_put(x, sharding)
 
 
 class DataParallel:
@@ -53,18 +62,14 @@ class DataParallel:
     # -- placement ----------------------------------------------------
     def shard_batch(self, x: jax.Array) -> jax.Array:
         """Place a (B, ...) array with B sharded across the mesh."""
-        if x.shape[0] % self.n_devices:
-            raise ValueError(
-                f"batch size {x.shape[0]} not divisible by mesh size "
-                f"{self.n_devices}")
-        return jax.device_put(x, self.batch_sharding)
+        return shard_batch_over(x, self.batch_sharding, self.n_devices)
 
     def replicate(self, tree: Any) -> Any:
         return jax.device_put(tree, self.replicated)
 
     # -- compiled steps -----------------------------------------------
     def make_training_step(self, trainer, with_pdf: bool = False,
-                           use_shard_map: Optional[bool] = None):
+                           use_shard_map: bool = True):
         """Compile the trainer's step data-parallel over the mesh.
 
         Two equivalent lowerings:
@@ -95,8 +100,6 @@ class DataParallel:
         state_s = self.replicated
         batch_s = self.batch_sharding
         n_batch_args = 3 if with_pdf else 2
-        if use_shard_map is None:
-            use_shard_map = True
         if not use_shard_map:
             return trainer.make_training_step(
                 with_pdf=with_pdf,

@@ -221,11 +221,9 @@ class HybridParallel:
         return jax.tree_util.tree_map_with_path(unplace, tree)
 
     def shard_batch(self, x: jax.Array) -> jax.Array:
-        if x.shape[0] % self.n_devices:
-            raise ValueError(
-                f"batch size {x.shape[0]} not divisible by mesh size "
-                f"{self.n_devices}")
-        return jax.device_put(x, self.batch_sharding)
+        from .mesh import shard_batch_over
+
+        return shard_batch_over(x, self.batch_sharding, self.n_devices)
 
     # -- compiled steps ---------------------------------------------------
     def step_shard_map(self, trainer, with_pdf: bool = False):

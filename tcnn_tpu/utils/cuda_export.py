@@ -28,12 +28,11 @@ native bin values (``json::to_msgpack`` / ``from_msgpack``).
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
 from .cuda_import import _ref_matrix_dims
-from ..common import next_multiple
 
 
 def _export_matrix(ours: np.ndarray, ref_shape,
@@ -68,7 +67,15 @@ def _flatten_reference_layout(model, tree,
             for m, rd in zip(net_tree["layers"], dims)]
     parts = mats
     if enc_tree is not None:
-        parts = mats + [np.asarray(enc_tree["grid"], dtype).reshape(-1)]
+        # Encoding params flat, in the encoding's own param order —
+        # {"grid": table} for grids, {} for paramless encodings, nested
+        # containers for Composite (nested params in order, matching
+        # the reference's [network|encoding] buffer layout,
+        # network_with_input_encoding.h:115-130).
+        import jax
+
+        parts = mats + [np.asarray(leaf, dtype).reshape(-1)
+                        for leaf in jax.tree_util.tree_leaves(enc_tree)]
     return np.concatenate(parts) if parts else np.zeros((0,), dtype)
 
 
@@ -97,6 +104,14 @@ def export_snapshot(trainer, state, serialize_optimizer: bool = False,
     }
     if serialize_optimizer:
         os_ = jax.device_get(state.opt_state)
+        # Unwrap wrapper optimizers (EMA/Average/Lookahead/...) down to
+        # the Adam core — the reference's nested serialize does the
+        # same descent (e.g. ema.h recurses into its nested optimizer).
+        opt_obj = trainer.optimizer
+        while (isinstance(os_, dict) and "nested" in os_
+               and not {"mu", "nu"} <= set(os_)):
+            os_ = os_["nested"]
+            opt_obj = getattr(opt_obj, "_nested", opt_obj)
         if not (isinstance(os_, dict) and {"mu", "nu"} <= set(os_)):
             raise ValueError(
                 "optimizer state is not Adam-shaped (mu/nu); only Adam "
@@ -105,7 +120,7 @@ def export_snapshot(trainer, state, serialize_optimizer: bool = False,
         nu = _flatten_reference_layout(trainer.model, os_["nu"])
         opt: Dict[str, Any] = {
             "current_step": int(os_.get("step", state.step)),
-            "base_learning_rate": float(trainer.optimizer.learning_rate),
+            "base_learning_rate": float(opt_obj.learning_rate),
             "first_moments_binary": mu.astype("<f4").tobytes(),
             "second_moments_binary": nu.astype("<f4").tobytes(),
         }
@@ -128,11 +143,17 @@ def _to_text_json(data):
     return data
 
 
-def save_snapshot(path, data: Dict[str, Any], form: str = "json") -> None:
+def save_snapshot(path, data: Dict[str, Any], form: str = "msgpack") -> None:
     """Write a snapshot dict produced by :func:`export_snapshot`.
 
-    form="json": text JSON, nlohmann binary rendering.
-    form="msgpack": nlohmann ``json::to_msgpack``-compatible binary.
+    form="msgpack" (default): nlohmann ``json::from_msgpack`` restores
+    binary values natively — the form a CUDA-side
+    ``Trainer::deserialize`` can actually consume.
+    form="json": text JSON in nlohmann's binary RENDERING
+    (``{"bytes": [...], "subtype": null}``).  Note nlohmann's
+    ``json::parse`` does NOT turn that rendering back into binary
+    values, so this form round-trips through :mod:`cuda_import` (which
+    understands it) but not through the CUDA reference directly.
     """
     if form == "json":
         with open(path, "w") as f:

@@ -142,3 +142,80 @@ class TestLargeStepCounters:
                 state2.opt_state["param_steps"]):
             arr = np.asarray(leaf)
             assert (arr[arr != 0] == (1 << 24) + 1).all()
+
+
+class TestNonGridAndWrappedExport:
+    def test_paramless_encoding_exports_network_only(self):
+        """Frequency/OneBlob encodings have no params ({} tree): the
+        exported buffer is just the padded network matrices."""
+        model = tcnn.create_from_config(2, 3, {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+            "encoding": {"otype": "Frequency", "n_frequencies": 4},
+            "network": {"otype": "MLP", "n_neurons": 16,
+                        "n_hidden_layers": 1},
+        })
+        state = model.trainer.initial_state()
+        data = cuda_export.export_snapshot(model.trainer, state)
+        n = np.frombuffer(data["params_binary"], dtype="<f4").size
+        assert data["n_params"] == n > 0
+
+    def test_composite_encoding_exports(self):
+        model = tcnn.create_from_config(4, 3, {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+            "encoding": {"otype": "Composite", "nested": [
+                {"otype": "HashGrid", "n_levels": 2,
+                 "n_features_per_level": 2, "log2_hashmap_size": 7,
+                 "base_resolution": 4, "n_dims_to_encode": 2},
+                {"otype": "OneBlob", "n_bins": 4, "n_dims_to_encode": 2},
+            ]},
+            "network": {"otype": "MLP", "n_neurons": 16,
+                        "n_hidden_layers": 1},
+        })
+        state = model.trainer.initial_state()
+        data = cuda_export.export_snapshot(model.trainer, state)
+        assert data["n_params"] > 0
+
+    def test_wrapper_optimizer_unwraps_to_adam(self, tmp_path):
+        """EMA-wrapped Adam (a standard reference config) exports its
+        nested Adam moments instead of refusing."""
+        model = tcnn.create_from_config(2, 3, {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "EMA", "decay": 0.99,
+                          "nested": {"otype": "Adam",
+                                     "learning_rate": 3e-3}},
+            "encoding": {"otype": "HashGrid", "n_levels": 3,
+                         "n_features_per_level": 2,
+                         "log2_hashmap_size": 8, "base_resolution": 4,
+                         "per_level_scale": 2.0},
+            "network": {"otype": "MLP", "n_neurons": 16,
+                        "n_hidden_layers": 1},
+        })
+        state = _trained_state(model)
+        data = cuda_export.export_snapshot(model.trainer, state,
+                                           serialize_optimizer=True)
+        assert data["optimizer"]["base_learning_rate"] == \
+            pytest.approx(3e-3)
+        mu = np.frombuffer(data["optimizer"]["first_moments_binary"],
+                           dtype="<f4")
+        ours = np.concatenate([
+            np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(
+                state.opt_state["nested"]["mu"])])
+        # Same nonzero mass (layouts differ by matrix padding).
+        assert mu.size >= ours.size
+        np.testing.assert_allclose(np.sort(np.abs(mu[mu != 0])),
+                                   np.sort(np.abs(ours[ours != 0])),
+                                   rtol=1e-6)
+
+    def test_default_form_is_msgpack(self, tmp_path):
+        model = _model()
+        state = _trained_state(model, n=1)
+        data = cuda_export.export_snapshot(model.trainer, state)
+        path = tmp_path / "snap.msgpack"
+        cuda_export.save_snapshot(path, data)   # default form
+        import msgpack
+        with open(path, "rb") as f:
+            loaded = msgpack.unpackb(f.read(), raw=False)
+        assert isinstance(loaded["params_binary"], bytes), \
+            "default form must keep binary values native (CUDA-loadable)"
