@@ -34,7 +34,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import dataclasses
-import math
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -96,11 +96,17 @@ def _hash_coords(hash_type: HashType, coords: Sequence[jax.Array]) -> jax.Array:
 
 
 def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
-    return float(2.0 ** (level * log2_per_level_scale) * base_resolution - 1.0)
+    """float32 math exactly as the reference's host/device grid_scale
+    (common_device.h:709-714: ``exp2f(level·log2_pls)·base − 1.0f``).
+    f64 here could land on the other side of an integer for
+    near-integer scales, shifting ceil() → resolution → the whole
+    level geometry vs reference-trained checkpoints."""
+    s = np.float32(np.float32(level) * np.float32(log2_per_level_scale))
+    return float(np.exp2(s) * np.float32(base_resolution) - np.float32(1.0))
 
 
 def grid_resolution(scale: float) -> int:
-    return int(math.ceil(scale)) + 1
+    return int(np.ceil(np.float32(scale))) + 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,7 +164,8 @@ def make_grid_spec(
     """Build the level/offset table (grid.h:686-731)."""
     if n_levels > MAX_N_GRID_LEVELS:
         raise ValueError(f"n_levels={n_levels} exceeds {MAX_N_GRID_LEVELS}")
-    log2_pls = math.log2(per_level_scale)
+    # f32 like the reference's std::log2(float) (grid.h:694, :784).
+    log2_pls = float(np.log2(np.float32(per_level_scale)))
     levels: List[LevelSpec] = []
     offset = 0
     for l in range(n_levels):
@@ -264,8 +271,12 @@ _TABLE_SHARDING: contextvars.ContextVar[Optional[Tuple[str, int]]] = \
 
 
 def shardable_levels(spec: GridSpec, n_shards: int) -> bool:
-    """True iff every level's row count divides ``n_shards`` ways (all
-    levels are 8-row aligned, so 2/4/8 always qualify)."""
+    """True iff every level's row count divides ``n_shards`` ways.
+
+    Hash/dense levels are 8-row aligned (grid.h:698), so shard counts
+    of 2/4/8 qualify; TILED grids cap levels at base_resolution^D
+    AFTER the alignment (grid.h:702) and may therefore be unshardable
+    (e.g. base 3, 2-D → 9-row levels)."""
     return all(lv.size % n_shards == 0 for lv in spec.levels)
 
 
@@ -358,8 +369,9 @@ def _interpolate_sharded(spec: GridSpec, live, flat, idx, ws, fc,
         raise ValueError(
             f"sharded_tables({axis_name}, {n_shards}): level sizes "
             f"{[lv.size for lv in spec.levels]} do not all divide "
-            f"{n_shards} ways (levels are 8-row aligned; shard counts "
-            f"of 2/4/8 always qualify)")
+            f"{n_shards} ways (hash/dense levels are 8-row aligned, so "
+            f"2/4/8 qualify; TILED levels are capped at base^D after "
+            f"alignment and may not be)")
     rows_local = spec.n_entries // n_shards
     if flat.size != rows_local * F:
         raise ValueError(
@@ -421,9 +433,9 @@ def _interpolate_sharded(spec: GridSpec, live, flat, idx, ws, fc,
         except TypeError as e:  # forward-mode tracer (see grid_encode)
             if "custom_vjp" not in str(e):
                 raise
-            cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))[0]
+            cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))
     else:
-        cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))[0]
+        cols_partial = _interpolate_ref(flat, idx_l, ws_m, (F, C))
     return jax.lax.psum_scatter(cols_partial, axis_name,
                                 scatter_dimension=1, tiled=True)
 
@@ -432,8 +444,6 @@ def _default_fast_scatter() -> bool:
     """Pallas deterministic-scatter backward on real TPU; pure-XLA
     scatter on CPU (tests run the kernel in interpret mode anyway via
     TCNN_TPU_FORCE_FAST_SCATTER)."""
-    import os
-
     if os.environ.get("TCNN_TPU_FORCE_FAST_SCATTER"):
         return True
     if os.environ.get("TCNN_TPU_DISABLE_PALLAS"):
@@ -446,7 +456,16 @@ def _default_fast_scatter() -> bool:
         return False
 
 
-import functools
+def _pallas_backend_ok() -> bool:
+    """Can the Pallas kernels execute here?  Real TPU lowers them;
+    CPU runs them in interpret mode (tests).  Any other backend (GPU)
+    must fall back to pure-XLA math even on paths that structurally
+    need the custom VJP (stochastic interpolation, forced kernels) —
+    pltpu kernels cannot lower there."""
+    try:
+        return jax.default_backend() in ("tpu", "cpu")
+    except Exception:
+        return False
 
 
 def _const_col(values, dtype) -> jax.Array:
@@ -586,7 +605,7 @@ def _interpolate_ref(flat, idx, ws, fc):
     feats = jnp.concatenate(
         [jnp.take(table2d, idx[l], axis=0) for l in range(idx.shape[0])],
         axis=0)
-    return _cols_from_feats(feats, ws, fc), feats
+    return _cols_from_feats(feats, ws, fc)
 
 
 def _interpolate_paired(flat, idx, ws, fc):
@@ -635,11 +654,7 @@ def _interpolate_paired(flat, idx, ws, fc):
     w_o = ws3[:, 1::2, :]
     colk = [jnp.sum(feats_e[..., k] * w_e + feats_o[..., k] * w_o, axis=1)
             for k in range(f)]
-    cols = jnp.stack(colk, axis=1).reshape(L * f, b)
-    # Residual feats in the canonical (L·C·B, F) corner order
-    # (c = pair·2 + dim-0 parity) for the input-gradient einsum.
-    feats = jnp.stack([feats_e, feats_o], axis=2).reshape(L * c * b, f)
-    return cols, feats
+    return jnp.stack(colk, axis=1).reshape(L * f, b)
 
 
 # ---------------------------------------------------------------------------
@@ -661,8 +676,6 @@ def _interpolate_paired(flat, idx, ws, fc):
 
 
 def _mm_budgets():
-    import os
-
     if os.environ.get("TCNN_TPU_DISABLE_MM"):
         return -1, -1
     return (int(os.environ.get("TCNN_TPU_MM_BUDGET_PAIRED", 400_000)),
@@ -677,7 +690,7 @@ def _route_levels(fc, flat_dtype, b):
     bud_p, bud_u = _mm_budgets()
     n_passes = _value_passes(flat_dtype)
     mm, serial = [], []
-    usable = batch_tile(b) != 0
+    usable = batch_tile(b) != 0 and _pallas_backend_ok()
     for i, (p, size, off) in enumerate(lv_meta):
         budget = bud_p if p else bud_u
         if usable and size * f * n_passes <= budget:
@@ -698,10 +711,8 @@ def _mm_classes(lv_meta, positions):
     all grid MACs (per-level 128-row padding + tiny-level waste).
     Remaining levels get per-level blocks, classed by equal padded
     size so no level pays a larger level's padding."""
-    import os
-
     merge_cap = int(os.environ.get("TCNN_TPU_MM_MERGE_CAP", 16384))
-    pad = lambda n: -(-n // 1024) * 1024
+    pad = lambda n: next_multiple(n, 1024)
     by_size = sorted(positions, key=lambda i: (lv_meta[i][1], i))
     merged, rest, tot = [], [], 0
     for i in by_size:
@@ -759,13 +770,13 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
     """Forward: route each level to the matmul gather or the take-based
     paths.  Returns the (L·F, B) f32 interpolated columns."""
     if len(fc) < 3 or not fc[2]:
-        return _interpolate_ref(flat, idx, ws, fc)[0]
+        return _interpolate_ref(flat, idx, ws, fc)
     f, c, lv_meta = fc
     lc, b = ws.shape
     mm, serial = _route_levels(fc, flat.dtype, b)
     if not mm:
         return _take_fwd_group(flat, idx, ws, fc,
-                               list(range(len(lv_meta))))[0]
+                               list(range(len(lv_meta))))
 
     from .pallas import grid_matmul as gm
 
@@ -783,7 +794,7 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
         for gi, i in enumerate(levels):
             pieces[i] = cols_g[gi * f:(gi + 1) * f]
     if serial:
-        cols_s = _take_fwd_group(flat, idx, ws, fc, serial)[0]
+        cols_s = _take_fwd_group(flat, idx, ws, fc, serial)
         for gi, i in enumerate(serial):
             pieces[i] = cols_s[gi * f:(gi + 1) * f]
     return jnp.concatenate([pieces[i] for i in range(len(lv_meta))], axis=0)
@@ -850,10 +861,16 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     ws3 = ws_scatter.reshape(n_lvl, c, b)
     dc3 = dcols.reshape(n_lvl, f, b)
 
-    if os.environ.get("TCNN_TPU_SCATTER") == "sortseg":
+    if (os.environ.get("TCNN_TPU_SCATTER") == "sortseg"
+            or not _pallas_backend_ok()):
         # Design candidate (b) — sort + segment-sum (see
         # ops/sort_scatter.py).  Kept runnable end-to-end so the
-        # ROOFLINE.md shoot-out stays reproducible; never the default.
+        # ROOFLINE.md shoot-out stays reproducible; never the default
+        # on TPU/CPU.  Doubles as the pure-XLA backward for backends
+        # (GPU) where the pltpu kernels cannot lower but the custom
+        # VJP is still structurally required (stochastic
+        # interpolation) — deterministic there too, unlike XLA's
+        # atomic GPU scatter-add.
         from .sort_scatter import sort_segment_scatter
 
         vals = (ws3[:, :, None, :]
@@ -999,6 +1016,15 @@ def grid_encode(
     live = [li for li in range(spec.n_levels)
             if max_level is None or li < max_level]
     shard_ctx = _TABLE_SHARDING.get()
+    if shard_ctx is None and flat.size != spec.n_params:
+        # A wrong-size table (stale checkpoint after a spec change,
+        # mis-shaped array) would otherwise gather clamped garbage
+        # silently (jnp.take clips out-of-range rows).  The sharded
+        # path validates its shard size in _interpolate_sharded.
+        raise ValueError(
+            f"table has {flat.size} elements but the grid spec needs "
+            f"{spec.n_params} ({spec.n_entries} rows × "
+            f"{spec.n_features_per_level} features)")
     sharded_mode = (shard_ctx is not None and shard_ctx[1] > 1
                     and flat.size != spec.n_params)
     if sharded_mode and spec.stochastic_interpolation:
@@ -1068,9 +1094,9 @@ def grid_encode(
                 if ("custom_vjp" not in str(e)
                         or spec.stochastic_interpolation):
                     raise
-                cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
+                cols = _interpolate_ref(flat, idx, ws, (F, C))
         else:
-            cols, _ = _interpolate_ref(flat, idx, ws, (F, C))
+            cols = _interpolate_ref(flat, idx, ws, (F, C))
     else:
         cols = jnp.zeros((0, B), jnp.float32)
     if len(live) != spec.n_levels:

@@ -22,14 +22,24 @@ def key(i=0):
 
 class TestGridSpec:
     def test_level_geometry_matches_reference_formulas(self):
-        # grid_scale/grid_resolution (common_device.h:709-718).
+        # grid_scale/grid_resolution in FLOAT32, exactly like the
+        # reference host code (common_device.h:709-718 exp2f/ceilf;
+        # grid.h:694 std::log2(float)).  f32 vs f64 genuinely differ
+        # here: at per_level_scale=1.5, level 3's scale is exp2f(3·
+        # log2f(1.5))·16−1 = 53.0 EXACTLY in f32 (verified against
+        # libm exp2f) → resolution 54, while f64 gives 53.0000…01 →
+        # resolution 55 — the wrong geometry for reference checkpoints.
         spec = grid_ops.make_grid_spec(
             n_dims=2, n_levels=4, n_features_per_level=2,
             log2_hashmap_size=15, base_resolution=16, per_level_scale=1.5)
+        lg = np.float32(np.log2(np.float32(1.5)))
         for l, level in enumerate(spec.levels):
-            scale = 2.0 ** (l * math.log2(1.5)) * 16 - 1.0
+            scale = float(np.exp2(np.float32(l) * lg) * np.float32(16)
+                          - np.float32(1))
             assert abs(level.scale - scale) < 1e-4
-            assert level.resolution == int(math.ceil(scale)) + 1
+            assert level.resolution == int(np.ceil(np.float32(scale))) + 1
+        assert spec.levels[3].scale == 53.0
+        assert spec.levels[3].resolution == 54   # f64 math would say 55
 
     def test_offsets_rounded_to_8(self):
         spec = grid_ops.make_grid_spec(2, 4, 2, 15, 16, 1.5)

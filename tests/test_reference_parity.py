@@ -20,7 +20,6 @@ values as well as the live model.
 """
 
 import json
-import math
 import os
 
 import numpy as np
@@ -72,16 +71,23 @@ def _smoothstep(f):
     return f * f * (3.0 - 2.0 * f)
 
 
-def reference_grid_encode(spec, table, xs, hash_type, grid_type, interp):
+def reference_grid_encode(spec, table, xs, hash_type, grid_type, interp,
+                          pls=1.7, base=4):
     """Scalar numpy model of kernel_grid (grid.h:48-212), fp32-faithful
-    where it matters (pos_fract in float32)."""
+    where it matters (pos_fract AND the level geometry in float32: the
+    host computes std::log2(float) once (grid.h:694) and the device
+    does exp2f(level*log2_pls)*base - 1.0f (common_device.h:709-714) —
+    f64 here can land on the other side of an integer and shift the
+    resolution)."""
     B = xs.shape[0]
     D = spec.n_dims
     F = spec.n_features_per_level
     out = np.zeros((B, spec.n_levels * F), np.float64)
+    log2_pls = np.float32(np.log2(np.float32(pls)))
     for level, lv in enumerate(spec.levels):
-        scale = np.float32(2.0 ** (level * math.log2(spec_pls(spec)))
-                           * spec_base(spec) - 1.0)
+        scale = np.float32(
+            np.exp2(np.float32(np.float32(level) * log2_pls))
+            * np.float32(base) - np.float32(1.0))
         resolution = int(np.ceil(scale)) + 1
         for i in range(B):
             pos, pos_grid = [], []
@@ -110,17 +116,6 @@ def reference_grid_encode(spec, table, xs, hash_type, grid_type, interp):
                 acc += weight * table[lv.offset + idx]
             out[i, level * F:(level + 1) * F] = acc
     return out.astype(np.float32)
-
-
-def spec_pls(spec):
-    # recover per_level_scale from level geometry (levels[1].scale)
-    if spec.n_levels < 2:
-        return 2.0
-    return (spec.levels[1].scale + 1.0) / (spec.levels[0].scale + 1.0)
-
-
-def spec_base(spec):
-    return spec.levels[0].scale + 1.0
 
 
 CASES = [
