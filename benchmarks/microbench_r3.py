@@ -62,8 +62,11 @@ def main(which):
     import jax
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TCNN_TPU_CACHE_DIR=<tmpdir> gives a cold cache for compile-time
+    # probes (tpu_session.sh step 4b).
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+                      os.environ.get("TCNN_TPU_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax_comp")))
     import jax.numpy as jnp
 
     import tcnn_tpu as tcnn

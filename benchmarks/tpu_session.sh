@@ -1,13 +1,18 @@
 #!/bin/bash
 # On-chip measurement session for round 3 wrap-up.  Run when the axon
-# tunnel is alive; logs to /tmp/tpu_session.log.  Order: cheapest
-# diagnostics first, artifact regeneration last, so a tunnel drop
-# mid-way still leaves usable numbers.
+# tunnel is alive; logs to /tmp/tpu_session.log.  Order: the headline
+# bench FIRST (the single number the round is judged on — a tunnel
+# drop mid-session must not lose it), then the kernel A/Bs that decide
+# defaults, then the long artifact regenerations.
 set -x
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/tpu_session.log}
 exec >> "$LOG" 2>&1
 echo "=== tpu_session $(date) commit $(git rev-parse --short HEAD) ==="
+
+# 0. Fresh headline bench (also exercises the TFLOPS probe consistency
+#    criterion and records compile+warmup seconds).
+timeout 3600 python -u bench.py
 
 # 1. Step decomposition (where do the 24.9 ms go?)
 timeout 2400 python -u benchmarks/microbench_r3.py profile
@@ -30,15 +35,28 @@ done
 # 4. Full-step modes (reference config): mm vs mmp-engaged
 MB_STEP_MODES=mm,mmp timeout 2400 python -u benchmarks/microbench_r3.py step
 
+# 4b. Compile-time probe: kernel-class count vs cold compile seconds
+#     (VERDICT #9).  MERGE_CAP 32768 folds the level-5 class into the
+#     merged one (4 Mosaic kernels instead of 6) at ~+1.7 ms/step of
+#     padding MACs; measure whether the compile saving is worth a
+#     faster-iteration env recommendation.  Cold cache via a throwaway
+#     cache dir.
+for cap in 16384 32768; do
+  TCNN_TPU_MM_MERGE_CAP=$cap TCNN_TPU_CACHE_DIR=$(mktemp -d) \
+    timeout 1800 python -u benchmarks/microbench_r3.py step
+done
+
 # 5. Regenerate the protocol sweep artifact (fused small-batch dispatch
 #    + scan-chunked inference fixes must be reflected in the committed
 #    JSON — round-2's artifact predates both).
 timeout 5400 python -u benchmarks/sweep.py --out bench_result_ours.json
 
-# 6. Fresh headline bench (also exercises the TFLOPS probe consistency)
-timeout 3600 python -u bench.py
-
-# 7. Naive-JAX baseline re-measure (README ratio provenance)
+# 6. Naive-JAX baseline re-measure (README ratio provenance)
 timeout 3600 python -u benchmarks/bench_baseline.py || true
+
+# 7. Headline bench again at the session's end: if the tunnel survived
+#    this long the compile cache is warm — records the warm-cache
+#    compile+warmup number alongside run 0's cold one.
+timeout 2400 python -u bench.py
 
 echo "=== tpu_session done $(date) ==="
