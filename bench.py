@@ -26,6 +26,52 @@ import time
 
 REFERENCE_TRAIN_SAMPLES_PER_SEC = 2.4e8
 
+LAST_ONCHIP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "last_onchip_bench.json")
+
+
+def _load_last_onchip():
+    """Committed record of the most recent successful on-chip run —
+    embedded (clearly labeled) in the null result when the tunnel is
+    dead, so the driver's round-end bench leaves a legible pointer."""
+    try:
+        with open(LAST_ONCHIP_PATH) as f:
+            rec = json.load(f)
+        return {"measured_at_commit": rec.get("measured_at_commit"),
+                "measured_at": rec.get("measured_at"),
+                "result": rec.get("result")}
+    except Exception:
+        return None
+
+
+def _save_last_onchip(result):
+    try:
+        import subprocess
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout.strip()
+    except Exception:
+        commit = None
+    rec = {
+        "note": "Most recent SUCCESSFUL on-chip run of bench.py. Updated "
+                "automatically by bench.py after every run that executes "
+                "on a real TPU device. Embedded (clearly labeled) in the "
+                "null result bench.py emits when the axon tunnel is "
+                "unreachable at measurement time, so a dead tunnel leaves "
+                "a legible pointer instead of nothing.",
+        "measured_at_commit": commit,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
+                                     time.gmtime()),
+        "result": result,
+    }
+    try:
+        with open(LAST_ONCHIP_PATH, "w") as f:
+            json.dump(rec, f, indent=2)
+            f.write("\n")
+    except Exception:
+        pass
+
 
 def _probe_devices_or_die(timeout_s: float):
     """Guard against a dead axon tunnel: jax backend init HANGS (in
@@ -56,6 +102,7 @@ def _probe_devices_or_die(timeout_s: float):
             "vs_baseline": None,
             "error": f"device init timed out after {timeout_s:.0f}s "
                      "(TPU tunnel unreachable)",
+            "last_onchip_measurement_NOT_this_run": _load_last_onchip(),
         }))
         os._exit(0)
 
@@ -324,6 +371,8 @@ def main():
         "compile_warmup_seconds": round(compile_warmup_s, 1),
         "device": str(jax.devices()[0]),
     }
+    if jax.devices()[0].platform != "cpu":
+        _save_last_onchip(result)
     print(json.dumps(result))
 
 
