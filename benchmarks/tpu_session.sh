@@ -60,3 +60,15 @@ timeout 3600 python -u benchmarks/bench_baseline.py || true
 timeout 2400 python -u bench.py
 
 echo "=== tpu_session done $(date) ==="
+
+# 8. Preserve evidence even when no interactive session is alive to do
+#    it: copy the session log into the repo and commit every artifact
+#    this session regenerates.  Without this, a tunnel revival that
+#    happens between agent sessions would leave the measurements
+#    stranded in /tmp.
+mkdir -p benchmarks/logs
+cp "$LOG" "benchmarks/logs/tpu_session_$(date +%Y%m%dT%H%M%S).log" || true
+git add bench_result_ours.json benchmarks/last_onchip_bench.json \
+        benchmarks/baseline_result.json benchmarks/logs 2>/dev/null || true
+git diff --cached --quiet || git commit -m \
+  "On-chip measurement artifacts (auto-committed by tpu_session.sh)" || true
