@@ -160,12 +160,15 @@ def _scatter_kernel(cc: int, f: int, hi_n: int, n_passes: int,
     for ci in range(cc):
         idx = idx_ref[0, ci:ci + 1, :]
         hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-        lohot = iota_lo == (idx % _LO)
+        # Mask by MULTIPLICATION, not select: an i1 mask born from i32
+        # comparisons is (8,128)-tiled, and Mosaic cannot relayout it to
+        # the (16,128) tiling a bf16 select needs ("Invalid relayout ...
+        # vector<...xi1>" on real TPU).  bf16 0/1 × bf16 value is exact.
+        lohot = (iota_lo == (idx % _LO)).astype(jnp.bfloat16)
         for fi in range(f):
             for p in range(n_passes):
                 r = (p * cc + ci) * f + fi
-                w_t = jnp.where(lohot, wdy_ref[0, r:r + 1, :],
-                                jnp.bfloat16(0))
+                w_t = lohot * wdy_ref[0, r:r + 1, :]
                 accs[fi] = accs[fi] + jax.lax.dot_general(
                     hihot, w_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -281,21 +284,23 @@ def _scatter_kernel_paired(ccp: int, f: int, hi_n: int, n_passes: int,
         hi = idx // _LO
         lo = idx % _LO
         hihot = (iota_hi == hi).astype(jnp.bfloat16)
-        lo_e = iota_lo == lo
-        lo_o = iota_lo == lo + 1          # no lane matches when lo==127
-        wrap = lo == _LO - 1
+        # bf16 0/1 masks + multiplication instead of i1 selects: Mosaic
+        # cannot relayout an i32-born i1 mask to the (16,128) tiling a
+        # bf16 select needs (see _scatter_kernel).
+        lo_e = (iota_lo == lo).astype(jnp.bfloat16)
+        lo_o = (iota_lo == lo + 1).astype(jnp.bfloat16)
+        wrap = (lo == _LO - 1).astype(jnp.bfloat16)
         wc_rows = []
         for p in range(n_passes):
             for fi in range(f):
                 r = ((p * ccp + ci) * f + fi) * 2
                 re = wdy_ref[0, r:r + 1, :]
                 ro = wdy_ref[0, r + 1:r + 2, :]
-                w_t = (jnp.where(lo_e, re, jnp.bfloat16(0))
-                       + jnp.where(lo_o, ro, jnp.bfloat16(0)))
+                w_t = lo_e * re + lo_o * ro
                 accs[fi] = accs[fi] + jax.lax.dot_general(
                     hihot, w_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                wc_rows.append(jnp.where(wrap, ro, jnp.bfloat16(0)))
+                wc_rows.append(wrap * ro)
         # One stacked carry contraction per pair: rows p·F+f of the
         # (128, T) value hold the wrapped odd mass.
         wc = jnp.concatenate(
