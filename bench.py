@@ -124,7 +124,7 @@ def main():
         pass
 
     import tcnn_tpu as tcnn
-    from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+    from tcnn_tpu.utils.image import ImageSampler, bench_image
 
     import sys
 
@@ -136,16 +136,9 @@ def main():
     # host round trips (dispatch overhead ~0.2 ms, chunk ~3 ms).
     chunk = int(os.environ.get("TCNN_BENCH_CHUNK", 10))
 
-    # Bench image: the reference's bundled photo if mounted, else synthetic.
-    ref_img = "/root/reference/data/images/albert.jpg"
-    img = None
-    if os.path.exists(ref_img):
-        try:
-            img = load_image(ref_img)
-        except Exception:
-            img = None
-    if img is None:
-        img = synthetic_image(1024, 1024)
+    # Bench image: standalone-first resolution (env override, then the
+    # committed repo fixture, then the reference photo if mounted).
+    img, _img_name = bench_image()
     sampler = ImageSampler(img)
 
     model = tcnn.create_from_config(2, 3, "configs/config_hash.json",
@@ -294,13 +287,31 @@ def main():
     # upload (~1.3s for the 64MB operands on the tunnel).  A single
     # plausible reading is thin evidence on a link that occasionally
     # acks a readback before the device finishes, so the probe demands
-    # CONSISTENCY: two independent chain configurations must agree
-    # within 15% before a value is accepted; the accepted readings and
-    # chain configs are recorded alongside the number.
+    # CONSISTENCY (round-4 hardened per the round-3 verdict: the old
+    # two-reading 15%-of-max rule accepted a pair spanning 17%
+    # measured upward): readings accumulate until THREE of them
+    # mutually agree within a SYMMETRIC 8% of their mean; the value
+    # reported is their MEDIAN, and the accepted readings + spread are
+    # recorded alongside it.
     tflops = None
     probe_detail = None
     candidates = []  # (k_hi, slope_seconds, tflops)
-    chain_lengths = (140, 260, 500, 900)
+
+    def _accept(cands):
+        """Median of the best mutually-agreeing triple, else None."""
+        vals = [c[2] for c in cands]
+        best = None
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                for k in range(j + 1, len(vals)):
+                    trip = sorted((vals[i], vals[j], vals[k]))
+                    mean = sum(trip) / 3
+                    spread = (trip[2] - trip[0]) / mean
+                    if spread <= 0.08 and (best is None or spread < best[1]):
+                        best = (trip[1], spread)
+        return best
+
+    chain_lengths = (140, 260, 500, 900, 900, 500, 900)
     if os.environ.get("TCNN_BENCH_SKIP_TFLOPS"):
         chain_lengths = ()  # CPU smoke runs: the 4096^3 chains take hours
     for k_hi in chain_lengths:
@@ -311,42 +322,24 @@ def main():
         # tunnel acked a readback before the device finished.
         if (t_hi - t_lo) > 0.05 and cand <= 250.0:
             candidates.append((k_hi, round(t_hi - t_lo, 4), round(cand, 2)))
-            if len(candidates) >= 2:
-                a_, b_ = candidates[-2][2], candidates[-1][2]
-                if abs(a_ - b_) / max(a_, b_) <= 0.15:
-                    tflops = (a_ + b_) / 2
-                    probe_detail = {
-                        "accepted": candidates[-2:],
-                        "criterion": "two chain configs within 15%",
-                    }
-                    break
-            continue
-        print(f"warning: TFLOPS probe not credible (slope "
-              f"{t_hi - t_lo:.3f}s, {cand:.0f} TF over {k_hi - 20} "
-              "matmuls); retrying longer", file=sys.stderr, flush=True)
+            got = _accept(candidates)
+            if got is not None:
+                tflops, spread = got
+                probe_detail = {
+                    "accepted": candidates,
+                    "criterion": "median of 3 readings within a "
+                                 "symmetric 8% of their mean",
+                    "spread_of_accepted_triple": round(spread, 4),
+                }
+                break
+        else:
+            print(f"warning: TFLOPS probe not credible (slope "
+                  f"{t_hi - t_lo:.3f}s, {cand:.0f} TF over {k_hi - 20} "
+                  "matmuls); retrying", file=sys.stderr, flush=True)
     if tflops is None and candidates:
-        # One credible reading but no partner yet (short chains often
-        # all get acked early by the tunnel): re-measure the chain
-        # length that produced it until two readings agree.
-        k_best = candidates[-1][0]
-        for _ in range(3):
-            t_lo, t_hi = chain(20), chain(k_best)
-            cand = ((k_best - 20) * 2 * 4096 ** 3
-                    / max(t_hi - t_lo, 1e-9) / 1e12)
-            if (t_hi - t_lo) > 0.05 and cand <= 250.0:
-                candidates.append((k_best, round(t_hi - t_lo, 4),
-                                   round(cand, 2)))
-                a_, b_ = candidates[-2][2], candidates[-1][2]
-                if abs(a_ - b_) / max(a_, b_) <= 0.15:
-                    tflops = (a_ + b_) / 2
-                    probe_detail = {
-                        "accepted": candidates[-2:],
-                        "criterion": "two readings within 15%",
-                    }
-                    break
-    if tflops is None and candidates:
-        print(f"warning: TFLOPS probe readings never agreed within 15% "
-              f"({candidates}); reporting null", file=sys.stderr, flush=True)
+        print(f"warning: TFLOPS probe readings never converged to an "
+              f"agreeing triple ({candidates}); reporting null",
+              file=sys.stderr, flush=True)
     REFERENCE_GPU_TFLOPS = 82.6  # RTX 4090 bf16 (dense)
 
     result = {

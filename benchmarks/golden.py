@@ -35,13 +35,9 @@ def main():
 
     import tcnn_tpu as tcnn
     from tcnn_tpu.utils import metrics
-    from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+    from tcnn_tpu.utils.image import ImageSampler, bench_image
 
-    ref_img = "/root/reference/data/images/albert.jpg"
-    if os.path.exists(ref_img):
-        img, img_name = load_image(ref_img), "albert.jpg"
-    else:
-        img, img_name = synthetic_image(1024, 1024), "synthetic-1024"
+    img, img_name = bench_image()
     sampler = ImageSampler(img)
 
     batch = 1 << 18

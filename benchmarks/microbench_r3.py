@@ -205,13 +205,35 @@ def main(which):
         state = tr.initial_state()
         t = jax.random.uniform(jax.random.key(1), (B, 3))
 
-        def body_loss(c, key):
+        def body_fwd_only(c, key):
+            # Forward+loss only: grads deliberately unused, so XLA
+            # dead-code-eliminates the whole backward.
             x = jax.random.uniform(key, (B, 2))
-            loss, grads = tr.loss_value_and_grads(state.params, x, t,
-                                                  None, step=state.step)
+            loss, _ = tr.loss_value_and_grads(state.params, x, t,
+                                              None, step=state.step)
             return c + loss
 
-        slope(lambda K: scan_over(body_loss, K, jnp.float32(0)),
+        slope(lambda K: scan_over(body_fwd_only, K, jnp.float32(0)),
+              label="fwd+loss only (bwd DCE'd)")
+
+        def body_loss(st, key):
+            # Grads CONSUMED via a parameter update so the backward
+            # survives DCE (the round-3 artifact's 'loss+grads' row
+            # silently measured forward-only — grads fed nothing).
+            x = jax.random.uniform(key, (B, 2))
+            loss, grads = tr.loss_value_and_grads(st.params, x, t,
+                                                  None, step=st.step)
+            new_params = jax.tree_util.tree_map(
+                lambda p, g: (p.astype(jnp.float32)
+                              - 1e-9 * g.astype(jnp.float32)).astype(p.dtype),
+                st.params, grads)
+            import tcnn_tpu
+
+            return tcnn_tpu.trainer.TrainerState(
+                params=new_params, opt_state=st.opt_state,
+                step=st.step + 1)
+
+        slope(lambda K: scan_over(body_loss, K, state),
               label="loss+grads (no opt)")
 
         step_fn = tr.step_fn()

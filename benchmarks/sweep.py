@@ -37,7 +37,7 @@ def main():
     import numpy as np
 
     import tcnn_tpu as tcnn
-    from tcnn_tpu.utils.image import ImageSampler, load_image, synthetic_image
+    from tcnn_tpu.utils.image import ImageSampler, bench_image, synthetic_image
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -51,15 +51,9 @@ def main():
         only a data readback waits for completion."""
         return float(np.asarray(jax.device_get(x)).ravel()[0])
 
-    ref_img = "/root/reference/data/images/albert.jpg"
-    img = None
-    if os.path.exists(ref_img):
-        try:
-            img = load_image(ref_img)
-        except Exception:
-            img = None
-    if img is None:
-        # 2048² → 4.2M-pixel pool, comfortably above the largest batch (2^21).
+    img, _name = bench_image()
+    if img.shape[0] * img.shape[1] < (1 << 21):
+        # Pool must exceed the largest batch (2^21): 2048² → 4.2M pixels.
         img = synthetic_image(2048, 2048)
     sampler = ImageSampler(img)
 

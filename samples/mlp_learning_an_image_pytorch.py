@@ -29,7 +29,7 @@ import torch
 
 from tcnn_tpu.bindings import torch_interop as tcnn_torch
 from tcnn_tpu.utils import metrics
-from tcnn_tpu.utils.image import load_image, synthetic_image
+from tcnn_tpu.utils.image import bench_image, load_image
 
 
 def write_image(path: str, img: np.ndarray) -> None:
@@ -43,16 +43,15 @@ def write_image(path: str, img: np.ndarray) -> None:
 
 
 def main(argv):
-    image_path = argv[1] if len(argv) > 1 else \
-        "/root/reference/data/images/albert.jpg"
     n_steps = int(argv[2]) if len(argv) > 2 else 1000
     batch_size = 2 ** 14  # torch interop crosses host; keep batches modest
 
-    if os.path.exists(image_path):
-        img = load_image(image_path)
+    if len(argv) > 1 and os.path.exists(argv[1]):
+        img = load_image(argv[1])
     else:
-        print(f"{image_path} not found; using synthetic test image")
-        img = synthetic_image(512, 512)
+        # Standalone-first fixture resolution (repo fixture.png, then
+        # the reference photo if mounted, then synthetic).
+        img, _name = bench_image()
     h, w = img.shape[:2]
 
     model = tcnn_torch.NetworkWithInputEncoding(

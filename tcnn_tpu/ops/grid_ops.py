@@ -704,23 +704,49 @@ def _mm_classes(lv_meta, positions):
     """Group mm levels into dispatch classes -> [(levels, r_pad,
     merged)].
 
-    The MXU contracts 128-row tiles, so a 300-row level costs the same
-    matmul as a 16384-row one; small levels are therefore MERGED into
-    one virtual table (concatenated rows, one kernel block) until the
-    merge cap fills — on the flagship geometry this removes ~27% of
-    all grid MACs (per-level 128-row padding + tiny-level waste).
+    Every level in a class contracts against the CLASS's padded row
+    count, so merging is a trade: it removes per-level padding waste
+    (a 300-row level alone still pays a 1024-row contraction) but
+    makes every merged level pay the whole virtual table.  The merge
+    prefix is therefore chosen by exact MAC cost: sort ascending,
+    take the prefix k (possibly 0) minimizing
+
+        k · pad(Σ_{i<k} size_i)  +  Σ_{i≥k} pad(size_i)
+
+    — on the flagship geometry this merges only the two sub-1024-row
+    levels (cost 2·1024 either way) and stops, where the round-3
+    fixed 16384-row cap merged five levels into a 12288-row virtual
+    table whose contraction each of them then paid (+1.2 ms/pass
+    measured on chip).  TCNN_TPU_MM_MERGE_CAP overrides the prefix
+    choice with the old greedy row-cap behavior for A/B.
     Remaining levels get per-level blocks, classed by equal padded
     size so no level pays a larger level's padding."""
-    merge_cap = int(os.environ.get("TCNN_TPU_MM_MERGE_CAP", 16384))
     pad = lambda n: next_multiple(n, 1024)
     by_size = sorted(positions, key=lambda i: (lv_meta[i][1], i))
-    merged, rest, tot = [], [], 0
-    for i in by_size:
-        if tot + lv_meta[i][1] <= merge_cap:
-            merged.append(i)
-            tot += lv_meta[i][1]
-        else:
-            rest.append(i)
+    sizes = [lv_meta[i][1] for i in by_size]
+    cap_env = os.environ.get("TCNN_TPU_MM_MERGE_CAP")
+    if cap_env is not None:
+        merge_cap = int(cap_env)
+        merged, rest, tot = [], [], 0
+        for i in by_size:
+            if tot + lv_meta[i][1] <= merge_cap:
+                merged.append(i)
+                tot += lv_meta[i][1]
+            else:
+                rest.append(i)
+    else:
+        per_level = [pad(s) for s in sizes]
+        suffix = [0] * (len(sizes) + 1)
+        for j in range(len(sizes) - 1, -1, -1):
+            suffix[j] = suffix[j + 1] + per_level[j]
+        best_k, best_cost, run = 0, suffix[0], 0
+        for k in range(1, len(sizes) + 1):
+            run += sizes[k - 1]
+            cost = k * pad(run) + suffix[k]
+            if cost < best_cost:
+                best_k, best_cost = k, cost
+        merged, rest = by_size[:best_k], by_size[best_k:]
+        tot = sum(sizes[:best_k])
     out = []
     if len(merged) >= 2:
         out.append((sorted(merged), pad(tot), True))

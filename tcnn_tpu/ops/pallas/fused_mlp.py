@@ -26,7 +26,7 @@ mapping from the CUDA design:
                                              stash through HBM
 
 Shape contract: hidden width W ∈ {16,32,64,128}; the batch is padded to
-a multiple of TILE_B by the wrapper.  Layers: z_1 = x W_0,
+a multiple of the batch tile by the wrapper.  Layers: z_1 = x W_0,
 h_k = act(z_k), z_{k+1} = h_k W_k, y = out_act(h_H W_out).
 
 Derivatives are provided via jax.custom_vjp (second order falls back to
@@ -48,9 +48,19 @@ from ...common import Activation, cdiv, next_multiple
 from . import interpret_mode
 from ..activations import activation_derivative, apply_activation
 
-# Batch tile; 512 rows keeps the MXU busy at every width while the
-# recomputed activations stay tiny (H·512·128·4B ≤ 1.3 MB at H=5).
-TILE_B = 512
+def TILE_B() -> int:
+    """Batch tile (rows per grid program), env-tunable for on-chip A/B.
+
+    Default 2048: at the reference widths the per-tile dots are tiny
+    (e.g. 2048×64×64), so the kernel is GRID-OVERHEAD bound, not
+    VMEM bound — 512-row tiles put the flagship at 512 grid steps and
+    ~1.4 ms/step measured on chip (~20× the ~0.07 ms FLOP cost of the
+    64×2 MLP at B=2^18).  2048 keeps bwd VMEM (recomputed activations,
+    ~8·W·tile·4 B) under ~4 MB at W=128.
+    """
+    import os
+
+    return int(os.environ.get("TCNN_TPU_MLP_TILE", 2048))
 
 
 def _replicated(shape):
@@ -60,7 +70,7 @@ def _replicated(shape):
 
 
 def _batch_tiled(shape_tail: Tuple[int, ...]):
-    return pl.BlockSpec((TILE_B,) + shape_tail, lambda i: (i,) + (0,) * len(shape_tail),
+    return pl.BlockSpec((TILE_B(),) + shape_tail, lambda i: (i,) + (0,) * len(shape_tail),
                         memory_space=pltpu.VMEM)
 
 
@@ -182,9 +192,9 @@ def _stack_hidden(ws: Sequence[jax.Array], width: int, dtype):
 
 
 def _x_spec(d_in: int, soa_in: bool):
-    """Input block spec: (TILE_B, d_in) rows — or (d_in, TILE_B) SoA."""
+    """Input block spec: (TILE_B(), d_in) rows — or (d_in, TILE_B()) SoA."""
     if soa_in:
-        return pl.BlockSpec((d_in, TILE_B), lambda i: (0, i),
+        return pl.BlockSpec((d_in, TILE_B()), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     return _batch_tiled((d_in,))
 
@@ -205,9 +215,9 @@ def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
     d_in, d_out = w_in.shape[0], w_out.shape[1]
     b_axis = 1 if soa_in else 0
 
-    xp, b = _pad_batch(x.astype(compute_dtype), TILE_B, axis=b_axis)
+    xp, b = _pad_batch(x.astype(compute_dtype), TILE_B(), axis=b_axis)
     pb = xp.shape[b_axis]
-    grid = (pb // TILE_B,)
+    grid = (pb // TILE_B(),)
 
     w_in_c = w_in.astype(compute_dtype)
     w_hid_c, n_stack = _stack_hidden(w_mid, width, compute_dtype)
@@ -320,9 +330,9 @@ def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
     width = w_in.shape[1]
     d_in, d_out = w_in.shape[0], w_out.shape[1]
 
-    xp, _ = _pad_batch(x_orig.astype(compute_dtype), TILE_B, axis=b_axis)
+    xp, _ = _pad_batch(x_orig.astype(compute_dtype), TILE_B(), axis=b_axis)
     pb = xp.shape[b_axis]
-    grid = (pb // TILE_B,)
+    grid = (pb // TILE_B(),)
 
     gp = g.astype(jnp.float32)
     if gp.shape[0] != pb:

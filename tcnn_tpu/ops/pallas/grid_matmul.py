@@ -136,14 +136,75 @@ def _virtualize_idx(idx_local: jax.Array, sizes, c: int,
 # ---------------------------------------------------------------------------
 
 
-def _scatter_kernel(cc: int, f: int, hi_n: int, n_passes: int,
-                    idx_ref, wdy_ref, out_ref):
+def _onehot_mode() -> str:
+    """One-hot build route: "i32" (default — iota compare + i1→bf16
+    mask cast) or "arith" (bf16 relu(1−|iota−v|), no i1 masks).
+    Measured on chip (flagship step, B=2^18): i32 21.5 ms vs arith
+    24.8 ms — the packed-bf16 arithmetic build LOSES to the compare
+    route (the 3-op chain + iota convert outweighs the mask cast), so
+    the compare stays the default and arith remains for A/B."""
+    import os
+
+    return os.environ.get("TCNN_TPU_ONEHOT", "i32")
+
+
+def _bf16_iota(n: int, tt: int):
+    """(n, T) bf16 iota (tpu.iota is integer-only: build i32, convert).
+    Callers hoist this out of their slot loops — one build per kernel
+    invocation, reused by every one-hot."""
+    return jax.lax.broadcasted_iota(
+        jnp.int32, (n, tt), 0).astype(jnp.bfloat16)
+
+
+def _arith_onehot(iota_b, v):
+    """EXACT bf16 one-hot of a (1, T) i32 row against a prebuilt bf16
+    iota with values < 256: relu(1 − |iota − v|) — integers ≤ 256 are
+    exact in bf16 and any miss distance ≥ 1 clamps to 0.  No compares,
+    no i1 masks."""
+    d = iota_b - v.astype(jnp.bfloat16)
+    one = jnp.ones((), jnp.bfloat16)
+    return jnp.maximum(one - jnp.abs(d), jnp.zeros((), jnp.bfloat16))
+
+
+def _onehot_pair(idx, hi_n: int, tt: int, iotas=None):
+    """(hi one-hot, lo one-hot) bf16 matrices for a (1, T) i32 row of
+    kernel-space indices.
+
+    Default route: i32 iota compare + i1→bf16 mask cast by
+    MULTIPLICATION-compatible astype (an i32-born i1 mask is
+    (8,128)-tiled and Mosaic cannot relayout it for a bf16 select,
+    so the mask is materialized as bf16 0/1 and applied by multiply).
+    TCNN_TPU_ONEHOT=arith selects the alternative arithmetic build
+    relu(1 − |iota − v|) — exact for values ≤ 256, no i1 masks —
+    which measured SLOWER on chip (see :func:`_onehot_mode`).
+    """
+    hi = idx // _LO
+    lo = idx % _LO
+    if hi_n <= 256 and _onehot_mode() != "i32":
+        iota_hi_b, iota_lo_b = iotas or (_bf16_iota(hi_n, tt),
+                                         _bf16_iota(_LO, tt))
+        return (_arith_onehot(iota_hi_b, hi),
+                _arith_onehot(iota_lo_b, lo))
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    # Mask by MULTIPLICATION, not select (see docstring).
+    hihot = (iota_hi == hi).astype(jnp.bfloat16)
+    lohot = (iota_lo == lo).astype(jnp.bfloat16)
+    return hihot, lohot
+
+
+def _scatter_kernel(cc: int, c: int, f: int, hi_n: int, n_passes: int,
+                    idx_ref, w_ref, dc_ref, out_ref):
     """One (table-block, batch-tile) step: accumulate all CC slots'
     updates into the block's per-feature (HI, 128) gradient planes.
 
     idx_ref: (1, CC, T) int32 kernel-space rows.
-    wdy_ref: (1, P·CC·F, T) bf16 premultiplied w·dy value terms,
-             row (p·CC + s)·F + f = term_p(w_s · dy_{level(s), f}).
+    w_ref:   (1, CC, T) f32 corner weights.
+    dc_ref:  (1, (CC//C)·F, T) f32 SoA output cotangent rows — the
+             w·dy value product and its bf16 term split happen HERE
+             (in VMEM), not on the XLA side: per update that is F·P
+             extra VPU lanes, and it saves materializing + reading a
+             (P·CC·F, B) bf16 operand through HBM per class.
     out_ref: (F, HI, 128) f32.
     """
     t_step = pl.program_id(1)
@@ -153,22 +214,17 @@ def _scatter_kernel(cc: int, f: int, hi_n: int, n_passes: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     tt = idx_ref.shape[2]
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
-
+    use_arith = hi_n <= 256 and _onehot_mode() != "i32"
+    iotas = (_bf16_iota(hi_n, tt), _bf16_iota(_LO, tt)) if use_arith else None
     accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
     for ci in range(cc):
         idx = idx_ref[0, ci:ci + 1, :]
-        hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-        # Mask by MULTIPLICATION, not select: an i1 mask born from i32
-        # comparisons is (8,128)-tiled, and Mosaic cannot relayout it to
-        # the (16,128) tiling a bf16 select needs ("Invalid relayout ...
-        # vector<...xi1>" on real TPU).  bf16 0/1 × bf16 value is exact.
-        lohot = (iota_lo == (idx % _LO)).astype(jnp.bfloat16)
+        hihot, lohot = _onehot_pair(idx, hi_n, tt, iotas)
+        w_row = w_ref[0, ci:ci + 1, :]
         for fi in range(f):
-            for p in range(n_passes):
-                r = (p * cc + ci) * f + fi
-                w_t = lohot * wdy_ref[0, r:r + 1, :]
+            v = w_row * dc_ref[0, (ci // c) * f + fi:(ci // c) * f + fi + 1, :]
+            for term in _split_bf16(v, n_passes):
+                w_t = lohot * term
                 accs[fi] = accs[fi] + jax.lax.dot_general(
                     hihot, w_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -205,28 +261,26 @@ def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
     if t == 0:
         raise ValueError(f"batch {b} has no usable tile")
 
-    # Premultiplied value operand, built (and fused) by XLA: rows
-    # ordered (pass, slot, feature) as the kernel expects.
-    w4 = w.astype(jnp.float32).reshape(n_lvl, c, 1, b)
-    d4 = dcols.astype(jnp.float32).reshape(n_lvl, 1, f, b)
-    terms = _split_bf16(w4 * d4, n_passes)          # each (n_lvl,c,f,b)
-    wdy = jnp.stack(terms).reshape(n_passes, n_lvl * c * f, b)
-    if not merged:
-        wdy = wdy.reshape(n_passes, n_lvl, c * f, b).transpose(1, 0, 2, 3)
-    wdy = wdy.reshape(lg, n_passes * cc * f, b)
-
-    kernel = functools.partial(_scatter_kernel, cc, f, hi_n, n_passes)
+    # The w·dy product and its bf16 term split happen IN-KERNEL; the
+    # operands here are just reshaped views of arrays the step already
+    # materializes (corner weights + SoA cotangent), so the scatter
+    # adds no XLA-side prep pass over the batch.
+    fdc = (cc // c) * f
+    kernel = functools.partial(_scatter_kernel, cc, c, f, hi_n, n_passes)
     out = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
             pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
-            pl.BlockSpec((1, n_passes * cc * f, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, fdc, t), lambda l, tb: (l, 0, tb)),
         ],
         out_specs=pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
         interpret=interpret_mode(),
-    )(idx_local.astype(jnp.int32).reshape(lg, cc, b), wdy)
+    )(idx_local.astype(jnp.int32).reshape(lg, cc, b),
+      w.astype(jnp.float32).reshape(lg, cc, b),
+      dcols.astype(jnp.float32).reshape(lg, fdc, b))
     # (lg·F, HI, 128) -> (lg, r_pad, F): row hi·128+lo of block l,
     # feature f lives at [l·F+f, hi, lo].
     return out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
@@ -254,14 +308,48 @@ def paired_mm_enabled() -> bool:
     return bool(os.environ.get("TCNN_TPU_MM_PAIRED"))
 
 
-def _scatter_kernel_paired(ccp: int, f: int, hi_n: int, n_passes: int,
-                           idx_ref, wdy_ref, out_ref, carry_ref):
+def _onehot_paired(idx, hi_n: int, tt: int, iotas=None):
+    """(hihot, lo_e, lo_o, wrap) bf16 matrices for pair-packed kernels
+    (even row one-hot, odd = lane lo+1, lane-wrap mask at lo==127);
+    arithmetic bf16 builds for hi_n ≤ 256 as in :func:`_onehot_pair`
+    (at lo==127, lo+1==128 matches no lane — exactly the lane-wrap
+    convention, whose mass rides ``wrap``)."""
+    hi = idx // _LO
+    lo = idx % _LO
+    if hi_n <= 256 and _onehot_mode() != "i32":
+        one = jnp.ones((), jnp.bfloat16)
+        zero = jnp.zeros((), jnp.bfloat16)
+        lo_b = lo.astype(jnp.bfloat16)
+        iota_hi_b, iota_lo_b = iotas or (_bf16_iota(hi_n, tt),
+                                         _bf16_iota(_LO, tt))
+        hihot = _arith_onehot(iota_hi_b, hi)
+        lo_e = _arith_onehot(iota_lo_b, lo)
+        lo_o = _arith_onehot(iota_lo_b, lo + 1)
+        wrap = jnp.maximum(one - jnp.abs(lo_b - (_LO - 1)), zero)
+        return hihot, lo_e, lo_o, wrap
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    # bf16 0/1 masks + multiplication instead of i1 selects: Mosaic
+    # cannot relayout an i32-born i1 mask to the (16,128) tiling a
+    # bf16 select needs (see _onehot_pair).
+    hihot = (iota_hi == hi).astype(jnp.bfloat16)
+    lo_e = (iota_lo == lo).astype(jnp.bfloat16)
+    lo_o = (iota_lo == lo + 1).astype(jnp.bfloat16)
+    wrap = (lo == _LO - 1).astype(jnp.bfloat16)
+    return hihot, lo_e, lo_o, wrap
+
+
+def _scatter_kernel_paired(ccp: int, cp: int, f: int, hi_n: int,
+                           n_passes: int, idx_ref, we_ref, wo_ref,
+                           dc_ref, out_ref, carry_ref):
     """One (table-block, batch-tile) step over CCP corner-PAIR slots.
 
     idx_ref: (1, CCP, T) int32 kernel-space EVEN-corner rows.
-    wdy_ref: (1, P·CCP·F·2, T) bf16 value terms, row
-             ((p·CCP + s)·F + f)·2 + eo (eo: 0 even / 1 odd corner;
-             odd weights pre-zeroed at level-wrap rows).
+    we_ref/wo_ref: (1, CCP, T) f32 even/odd corner weights (odd
+             weights pre-zeroed at level-wrap rows); the w·dy products
+             and bf16 term splits happen in-kernel (see
+             :func:`_scatter_kernel`).
+    dc_ref:  (1, (CCP//CP)·F, T) f32 SoA cotangent rows.
     out_ref: (F, HI, 128) f32 main gradient planes.
     carry_ref: (1, HI, 128) f32; column p·F + f holds the lane-wrap
                mass destined for row (hi+1)·128 (folded by the caller).
@@ -274,35 +362,28 @@ def _scatter_kernel_paired(ccp: int, f: int, hi_n: int, n_passes: int,
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
     tt = idx_ref.shape[2]
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
-
+    use_arith = hi_n <= 256 and _onehot_mode() != "i32"
+    iotas = (_bf16_iota(hi_n, tt), _bf16_iota(_LO, tt)) if use_arith else None
     accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
     acc_c = jnp.zeros((hi_n, _LO), jnp.float32)
     for ci in range(ccp):
         idx = idx_ref[0, ci:ci + 1, :]
-        hi = idx // _LO
-        lo = idx % _LO
-        hihot = (iota_hi == hi).astype(jnp.bfloat16)
-        # bf16 0/1 masks + multiplication instead of i1 selects: Mosaic
-        # cannot relayout an i32-born i1 mask to the (16,128) tiling a
-        # bf16 select needs (see _scatter_kernel).
-        lo_e = (iota_lo == lo).astype(jnp.bfloat16)
-        lo_o = (iota_lo == lo + 1).astype(jnp.bfloat16)
-        wrap = (lo == _LO - 1).astype(jnp.bfloat16)
+        hihot, lo_e, lo_o, wrap = _onehot_paired(idx, hi_n, tt, iotas)
+        we_row = we_ref[0, ci:ci + 1, :]
+        wo_row = wo_ref[0, ci:ci + 1, :]
         wc_rows = []
-        for p in range(n_passes):
-            for fi in range(f):
-                r = ((p * ccp + ci) * f + fi) * 2
-                re = wdy_ref[0, r:r + 1, :]
-                ro = wdy_ref[0, r + 1:r + 2, :]
-                w_t = lo_e * re + lo_o * ro
+        for fi in range(f):
+            dc_row = dc_ref[0, (ci // cp) * f + fi:(ci // cp) * f + fi + 1, :]
+            terms_e = _split_bf16(we_row * dc_row, n_passes)
+            terms_o = _split_bf16(wo_row * dc_row, n_passes)
+            for p in range(n_passes):
+                w_t = lo_e * terms_e[p] + lo_o * terms_o[p]
                 accs[fi] = accs[fi] + jax.lax.dot_general(
                     hihot, w_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                wc_rows.append(wrap * ro)
-        # One stacked carry contraction per pair: rows p·F+f of the
-        # (128, T) value hold the wrapped odd mass.
+                wc_rows.append(wrap * terms_o[p])
+        # One stacked carry contraction per pair: the wrapped odd mass
+        # rides rows of a single (128, T) value operand.
         wc = jnp.concatenate(
             wc_rows + [jnp.zeros((_LO - len(wc_rows), tt), jnp.bfloat16)],
             axis=0)
@@ -332,34 +413,26 @@ def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
     destined for rows (hi+1)·128 (top row always zero).
     """
     lcp, b = idx_e.shape
-    n_lvl = lcp // (c // 2)
-    lg, ccp = (1, lcp) if merged else (n_lvl, c // 2)
+    cp = c // 2
+    n_lvl = lcp // cp
+    lg, ccp = (1, lcp) if merged else (n_lvl, cp)
     t = batch_tile(b)
     hi_n = r_pad // _LO
     n_passes = _value_passes(value_dtype)
     if t == 0:
         raise ValueError(f"batch {b} has no usable tile")
 
-    cp = c // 2
-    w5 = jnp.stack([w_e.astype(jnp.float32), w_o.astype(jnp.float32)],
-                   axis=1).reshape(n_lvl, cp, 2, 1, b)
-    d5 = dcols.astype(jnp.float32).reshape(n_lvl, 1, 1, f, b)
-    prod = (w5 * d5).transpose(0, 1, 3, 2, 4)   # (n_lvl, cp, f, 2, b)
-    terms = _split_bf16(prod, n_passes)
-    wdy = jnp.stack(terms)                       # (P, n_lvl, cp, f, 2, b)
-    if not merged:
-        wdy = wdy.transpose(1, 0, 2, 3, 4, 5)
-    wdy = wdy.reshape(lg, n_passes * ccp * f * 2, b)
-
-    kernel = functools.partial(_scatter_kernel_paired, ccp, f, hi_n,
+    fdc = (ccp // cp) * f
+    kernel = functools.partial(_scatter_kernel_paired, ccp, cp, f, hi_n,
                                n_passes)
     out, carry = pl.pallas_call(
         kernel,
         grid=(lg, b // t),
         in_specs=[
             pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
-            pl.BlockSpec((1, n_passes * ccp * f * 2, t),
-                         lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, fdc, t), lambda l, tb: (l, 0, tb)),
         ],
         out_specs=[
             pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
@@ -370,12 +443,15 @@ def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
             jax.ShapeDtypeStruct((lg, hi_n, _LO), jnp.float32),
         ],
         interpret=interpret_mode(),
-    )(idx_e.astype(jnp.int32).reshape(lg, ccp, b), wdy)
+    )(idx_e.astype(jnp.int32).reshape(lg, ccp, b),
+      w_e.astype(jnp.float32).reshape(lg, ccp, b),
+      w_o.astype(jnp.float32).reshape(lg, ccp, b),
+      dcols.astype(jnp.float32).reshape(lg, fdc, b))
     blocks = out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
                 .reshape(lg, r_pad, f)
-    # carry column p·F+f -> (lg, hi_n, F), summing the value passes.
+    # carry column fi·P+p -> (lg, hi_n, F), summing the value passes.
     cc3 = carry.reshape(lg, hi_n, _LO)[:, :, :n_passes * f] \
-               .reshape(lg, hi_n, n_passes, f).sum(axis=2)
+               .reshape(lg, hi_n, f, n_passes).sum(axis=3)
     return blocks, cc3
 
 
@@ -395,9 +471,9 @@ def _gather_kernel(cc: int, f: int, c: int, hi_n: int, n_passes: int,
     out_ref: (1, n_lvl·F, T) f32 interpolated columns.
     """
     tt = idx_ref.shape[2]
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
     n_lvl = cc // c
+    use_arith = hi_n <= 256 and _onehot_mode() != "i32"
+    iotas = (_bf16_iota(hi_n, tt), _bf16_iota(_LO, tt)) if use_arith else None
 
     rows = []
     for l in range(n_lvl):
@@ -405,8 +481,13 @@ def _gather_kernel(cc: int, f: int, c: int, hi_n: int, n_passes: int,
         for cj in range(c):
             ci = l * c + cj
             idx = idx_ref[0, ci:ci + 1, :]
-            hihot = (iota_hi == (idx // _LO)).astype(jnp.bfloat16)
-            lohot = iota_lo == (idx % _LO)
+            # hihot (bf16, arith build) feeds the MXU; the lo SELECT
+            # over the f32 dot output needs an (8,128)-tiled i1 mask,
+            # i.e. an i32-born compare (Mosaic: matmul accumulators
+            # must be 32-bit, so a bf16-select route is unavailable).
+            hihot, _ = _onehot_pair(idx, hi_n, tt, iotas)
+            lohot = jax.lax.broadcasted_iota(
+                jnp.int32, (_LO, tt), 0) == (idx % _LO)
             w_c = w_ref[0, ci:ci + 1, :]
             for fi in range(f):
                 z = jnp.zeros((_LO, tt), jnp.float32)
@@ -439,6 +520,8 @@ def _gather_kernel_paired(ccp: int, f: int, cp: int, hi_n: int,
     tt = idx_ref.shape[2]
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    iota_hi_b = (_bf16_iota(hi_n, tt)
+                 if hi_n <= 256 and _onehot_mode() != "i32" else None)
     n_lvl = ccp // cp
 
     rows = []
@@ -449,7 +532,12 @@ def _gather_kernel_paired(ccp: int, f: int, cp: int, hi_n: int,
             idx = idx_ref[0, ci:ci + 1, :]
             hi = idx // _LO
             lo = idx % _LO
-            hihot = (iota_hi == hi).astype(jnp.bfloat16)
+            if iota_hi_b is not None:
+                # Arithmetic bf16 hi one-hot (exact for hi < 256); the
+                # lo masks stay i32-born bools for the f32 selects.
+                hihot = _arith_onehot(iota_hi_b, hi)
+            else:
+                hihot = (iota_hi == hi).astype(jnp.bfloat16)
             lo_e = iota_lo == lo
             lo_o = iota_lo == lo + 1
             wrap = lo == _LO - 1

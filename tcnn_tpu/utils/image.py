@@ -45,6 +45,41 @@ def load_image(path: str) -> np.ndarray:
         ) from e
 
 
+def bench_image() -> "tuple[np.ndarray, str]":
+    """The benchmark/sample fixture image, resolved standalone-first:
+
+      1. ``$TCNN_TPU_BENCH_IMAGE`` (any readable image path),
+      2. the repo's committed fixture ``benchmarks/data/fixture.png``
+         (a deterministic 1024×1024 render of :func:`synthetic_image`),
+      3. the reference checkout's photo if mounted (numeric
+         comparability with older committed artifacts),
+      4. :func:`synthetic_image` in-memory.
+
+    Returns (HxWx3 float image, short provenance name).  The framework
+    never *requires* the reference tree: steps 1-2 and 4 work with it
+    absent.
+    """
+    import os
+
+    candidates = []
+    env = os.environ.get("TCNN_TPU_BENCH_IMAGE")
+    if env:
+        candidates.append((env, os.path.basename(env)))
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates.append((os.path.join(here, "benchmarks", "data",
+                                    "fixture.png"), "fixture.png"))
+    candidates.append(("/root/reference/data/images/albert.jpg",
+                       "albert.jpg"))
+    for path, name in candidates:
+        if os.path.exists(path):
+            try:
+                return load_image(path), name
+            except Exception:
+                continue
+    return synthetic_image(1024, 1024), "synthetic-1024"
+
+
 def synthetic_image(height: int = 512, width: int = 512,
                     seed: int = 0) -> np.ndarray:
     """Deterministic synthetic test image with multi-scale structure

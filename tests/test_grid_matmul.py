@@ -281,24 +281,34 @@ class TestMergedClasses:
                                        rtol=1e-3, atol=1e-3)
 
     def test_flagship_class_plan(self):
-        """config_hash geometry: small dense levels merge; mid levels
-        stop padding to the hash levels' 2^15 rows."""
+        """config_hash geometry: the cost-chosen plan never makes a
+        level contract against more rows than its own 1024-padded size
+        (the round-3 fixed-cap greedy merged five levels into a
+        12288-row virtual table each of them then paid — +1.2 ms/pass
+        measured on chip)."""
         spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
         meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
         mm, serial = grid_ops._route_levels((2, 4, meta), jnp.bfloat16,
                                             1 << 18)
         assert serial == []
         classes = grid_ops._mm_classes(meta, mm)
-        merged = [cl for cl in classes if cl[2]]
-        assert len(merged) == 1 and len(merged[0][0]) >= 4
-        # no non-merged class pads a level by more than 1024 rows
+        # every level pays at most its own padded contraction
+        pad = lambda n: (n + 1023) // 1024 * 1024
         for levels, r_pad, mg in classes:
-            if not mg:
-                assert max(meta[i][1] for i in levels) > r_pad - 1024
+            for i in levels:
+                assert r_pad <= pad(meta[i][1]) or (
+                    mg and r_pad <= sum(pad(meta[j][1]) for j in levels))
+        # total MAC cost is within the per-level-padding optimum
+        total = sum(len(levels) * r_pad for levels, r_pad, _ in classes)
+        assert total <= sum(pad(m[1]) for m in meta)
 
-    def test_grid_encode_parity_with_merged_classes(self):
+    def test_grid_encode_parity_with_merged_classes(self, monkeypatch):
         """End-to-end grid_encode with a class plan that includes a
-        merged class must match the jnp path."""
+        merged class must match the jnp path.  The cost-based planner
+        no longer merges at this geometry (merging only ever ties or
+        loses at the 1024-row pad floor), so the legacy fixed-cap
+        greedy is forced via env to keep merged-mode parity covered."""
+        monkeypatch.setenv("TCNN_TPU_MM_MERGE_CAP", "16384")
         spec = grid_ops.make_grid_spec(2, 6, 2, 11, 4, 2.0)
         meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
         mm, _ = grid_ops._route_levels((2, 4, meta), jnp.float32, 1024)
