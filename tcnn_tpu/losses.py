@@ -37,6 +37,14 @@ _sg = jax.lax.stop_gradient
 class Loss:
     """Base class. Subclasses implement elementwise(prediction, target, pdf)."""
 
+    # True when elementwise() treats every element identically, i.e.
+    # the loss value is invariant to the (B, D) vs feature-major (D, B)
+    # layout of prediction/target.  The trainer's fast path feeds such
+    # losses SoA predictions straight from the fused MLP kernel (full
+    # lane occupancy); channel-mixing losses (luminance) and per-dim
+    # broadcasts keep the AoS path.
+    channel_agnostic = True
+
     def elementwise(self, prediction, target, pdf):
         raise NotImplementedError
 
@@ -88,6 +96,8 @@ class RelativeL2LuminanceLoss(Loss):
     dims ≥ 6 the twin-RGB pair (e.g. diffuse+specular) is summed before
     taking the luminance, exactly like the reference.
     """
+
+    channel_agnostic = False          # mixes RGB channels along dim 1
 
     def elementwise(self, prediction, target, pdf):
         r, g, b = prediction[:, 0], prediction[:, 1], prediction[:, 2]
@@ -152,6 +162,8 @@ class ConstantGradientLoss(Loss):
     """Injects a fixed per-dim gradient; values are zero
     (losses/constant.h:42-70).  Not exposed in the registry, mirroring
     the reference (internal use only)."""
+
+    channel_agnostic = False          # (D,)-vector broadcast along dim 1
 
     def __init__(self, constant_gradient: Sequence[float]):
         self.constant_gradient = jnp.asarray(constant_gradient, jnp.float32)

@@ -65,28 +65,49 @@ class NetworkWithInputEncoding(Module):
         return (getattr(self.encoding, "prefers_soa", False)
                 and getattr(self.network, "accepts_soa_input", False))
 
-    def apply(self, params, x, **enc_kwargs):
+    @property
+    def supports_soa_output(self) -> bool:
+        """True when apply(..., output_soa=True) can return (D_out, B)
+        feature-major predictions — the layout the trainer's loss path
+        consumes at full lane occupancy."""
+        return getattr(self.network, "supports_soa_output", False)
+
+    def apply(self, params, x, output_soa: bool = False, **enc_kwargs):
         # Extra keyword args flow to the encoding — the reference
         # drives per-encoding runtime knobs (e.g. the per-element
         # max_level array, grid.h:69-92) through the composed model the
         # same way (network_with_input_encoding.h:70-81 passes the
         # forward context straight into the nested encoding).
+        net_kwargs = ({"output_soa": True}
+                      if output_soa and self.supports_soa_output else {})
         if self._use_soa:
             feats = self.encoding.apply(params["encoding"], x, soa=True,
                                         **enc_kwargs)
-            return self.network.apply(params["network"], feats,
-                                      input_soa=True)
-        feats = self.encoding.apply(params["encoding"], x, **enc_kwargs)
-        return self.network.apply(params["network"], feats)
+            y = self.network.apply(params["network"], feats,
+                                   input_soa=True, **net_kwargs)
+        else:
+            feats = self.encoding.apply(params["encoding"], x, **enc_kwargs)
+            y = self.network.apply(params["network"], feats, **net_kwargs)
+        if output_soa and not net_kwargs:
+            y = y.T
+        return y
 
-    def inference(self, params, x, **enc_kwargs):
+    def inference(self, params, x, output_soa: bool = False, **enc_kwargs):
+        net_kwargs = ({"output_soa": True}
+                      if output_soa and self.supports_soa_output else {})
         if self._use_soa:
             feats = self.encoding.inference(params["encoding"], x, soa=True,
                                             **enc_kwargs)
-            return self.network.inference(params["network"], feats,
-                                          input_soa=True)
-        feats = self.encoding.inference(params["encoding"], x, **enc_kwargs)
-        return self.network.inference(params["network"], feats)
+            y = self.network.inference(params["network"], feats,
+                                       input_soa=True, **net_kwargs)
+        else:
+            feats = self.encoding.inference(params["encoding"], x,
+                                            **enc_kwargs)
+            y = self.network.inference(params["network"], feats,
+                                       **net_kwargs)
+        if output_soa and not net_kwargs:
+            y = y.T
+        return y
 
     def hyperparams(self) -> Dict[str, Any]:
         return {

@@ -83,21 +83,37 @@ def _in_matmul(x, w, soa_in: bool):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
+def _out_matmul(h, w_out, soa_out: bool):
+    """h (TB, W) @ w_out (W, Dout) — AoS (TB, Dout), or TRANSPOSED
+    (Dout, TB) when ``soa_out``, via swapped dot operands (no relayout:
+    the MXU contracts either orientation natively).  The SoA output
+    keeps the (tiny) Dout on sublanes and the batch on lanes, so every
+    downstream elementwise/loss op runs at full lane occupancy instead
+    of Dout/128 (measured: the flagship's loss reduction alone cost
+    0.59 ms/step on (2^18, 3) AoS arrays)."""
+    if soa_out:
+        return jax.lax.dot_general(w_out, h, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return jnp.dot(h, w_out, preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
-                soa_in: bool, x_ref, w_in_ref, w_hid_ref, w_out_ref, y_ref):
+                soa_in: bool, soa_out: bool, x_ref, w_in_ref, w_hid_ref,
+                w_out_ref, y_ref):
     """One batch tile through the whole MLP."""
     z = _in_matmul(x_ref[...], w_in_ref[...], soa_in)
     h = apply_activation(z, act).astype(x_ref.dtype)
     for k in range(n_hidden - 1):
         z = jnp.dot(h, w_hid_ref[k], preferred_element_type=jnp.float32)
         h = apply_activation(z, act).astype(h.dtype)
-    z_out = jnp.dot(h, w_out_ref[...], preferred_element_type=jnp.float32)
+    z_out = _out_matmul(h, w_out_ref[...], soa_out)
     y_ref[...] = apply_activation(z_out, out_act).astype(y_ref.dtype)
 
 
 def _bwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
-                soa_in: bool, x_ref, w_in_ref, w_hid_ref, w_out_ref, g_ref,
-                dx_ref, dw_in_ref, dw_hid_ref, dw_out_ref):
+                soa_in: bool, soa_out: bool, x_ref, w_in_ref, w_hid_ref,
+                w_out_ref, g_ref, dx_ref, dw_in_ref, dw_hid_ref,
+                dw_out_ref):
     """Backward for one batch tile, forward recomputed in-kernel.
 
     dgrad chain mirrors kernel_mlp_fused_backward
@@ -126,21 +142,31 @@ def _bwd_kernel(act: Activation, out_act: Activation, n_hidden: int,
         zs.append(z)
         h = apply_activation(z, act).astype(cdt)
         hs.append(h)
-    z_out = jnp.dot(h, w_out_ref[...], preferred_element_type=jnp.float32)
+    z_out = _out_matmul(h, w_out_ref[...], soa_out)
 
     g = g_ref[...].astype(jnp.float32)
-    dz = g * activation_derivative(z_out, out_act)           # (TB, Dout) f32
+    dz = g * activation_derivative(z_out, out_act)  # (TB, Dout) / SoA (Dout, TB)
     dz_c = dz.astype(cdt)
 
-    # Output layer wgrad: h_lastᵀ dz.
-    dw_out_ref[...] += jax.lax.dot_general(
-        hs[-1], dz_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if soa_out:
+        # SoA cotangent (Dout, TB): both dots consume it transposed —
+        # no relayout anywhere.
+        dw_out_ref[...] += jax.lax.dot_general(
+            hs[-1], dz_c, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = jax.lax.dot_general(
+            dz_c, w_out_ref[...], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        # Output layer wgrad: h_lastᵀ dz.
+        dw_out_ref[...] += jax.lax.dot_general(
+            hs[-1], dz_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    # dgrad into the last hidden activation.
-    dh = jax.lax.dot_general(
-        dz_c, w_out_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        # dgrad into the last hidden activation.
+        dh = jax.lax.dot_general(
+            dz_c, w_out_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     for k in range(n_hidden - 1, 0, -1):
         dz_k = dh * activation_derivative(zs[k], act)
@@ -199,16 +225,16 @@ def _x_spec(d_in: int, soa_in: bool):
     return _batch_tiled((d_in,))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _fused_mlp(weights: Tuple[jax.Array, ...], x, act: Activation,
                out_act: Activation, compute_dtype, output_dtype,
-               soa_in: bool):
+               soa_in: bool, soa_out: bool):
     return _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
-                               output_dtype, soa_in)
+                               output_dtype, soa_in, soa_out)
 
 
 def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
-                        output_dtype, soa_in):
+                        output_dtype, soa_in, soa_out):
     w_in, *w_mid, w_out = weights
     n_hidden = len(w_mid) + 1           # number of width-W layers
     width = w_in.shape[1]
@@ -223,7 +249,11 @@ def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
     w_hid_c, n_stack = _stack_hidden(w_mid, width, compute_dtype)
     w_out_c = w_out.astype(compute_dtype)
 
-    kernel = functools.partial(_fwd_kernel, act, out_act, n_hidden, soa_in)
+    kernel = functools.partial(_fwd_kernel, act, out_act, n_hidden,
+                               soa_in, soa_out)
+    out_spec = (_x_spec(d_out, True) if soa_out
+                else _batch_tiled((d_out,)))
+    out_shape = ((d_out, pb) if soa_out else (pb, d_out))
     y = pl.pallas_call(
         kernel,
         grid=grid,
@@ -233,26 +263,27 @@ def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
             _replicated((max(n_stack, 1), width, width)),
             _replicated((width, d_out)),
         ],
-        out_specs=_batch_tiled((d_out,)),
-        out_shape=jax.ShapeDtypeStruct((pb, d_out), jnp.float32),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret_mode(),
     )(xp, w_in_c, w_hid_c, w_out_c)
-    return y[:b].astype(output_dtype)
+    y = y[:, :b] if soa_out else y[:b]
+    return y.astype(output_dtype)
 
 
 def _fused_mlp_vjp_fwd(weights, x, act, out_act, compute_dtype, output_dtype,
-                       soa_in):
+                       soa_in, soa_out):
     # Re-enter the custom_vjp (not the raw pallas impl): under nested
     # differentiation (bwd-bwd) this fwd is itself traced, and only the
     # wrapped call keeps the kernel opaque to AD.
     y = _fused_mlp(weights, x, act, out_act, compute_dtype, output_dtype,
-                   soa_in)
+                   soa_in, soa_out)
     # Residuals: just the inputs — backward recomputes activations.
     return y, (weights, x)
 
 
 def _jnp_mlp_ref(weights, x, act, out_act, compute_dtype, output_dtype,
-                 soa_in):
+                 soa_in, soa_out=False):
     """Identical-math jnp forward — the differentiable ground truth the
     kernels are tested against; used to derive second-order derivatives
     of the backward op below."""
@@ -267,12 +298,13 @@ def _jnp_mlp_ref(weights, x, act, out_act, compute_dtype, output_dtype,
         h = apply_activation(z, act).astype(compute_dtype)
     z_out = jnp.dot(h, w_out.astype(compute_dtype),
                     preferred_element_type=jnp.float32)
-    return apply_activation(z_out, out_act).astype(output_dtype)
+    y = apply_activation(z_out, out_act).astype(output_dtype)
+    return y.T if soa_out else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _fused_mlp_bwd_op(weights, x, g, act, out_act, compute_dtype,
-                      output_dtype, soa_in):
+                      output_dtype, soa_in, soa_out):
     """The backward pass as a differentiable op.
 
     Mirrors the reference's two-level autograd structure
@@ -283,27 +315,29 @@ def _fused_mlp_bwd_op(weights, x, g, act, out_act, compute_dtype,
     freely.  MLP second order is off the hot path, so the jnp route
     costs nothing in training."""
     return _fused_mlp_bwd_kernel_call(weights, x, g, act, out_act,
-                                      compute_dtype, output_dtype, soa_in)
+                                      compute_dtype, output_dtype, soa_in,
+                                      soa_out)
 
 
 def _fused_mlp_bwd_op_fwd(weights, x, g, act, out_act, compute_dtype,
-                          output_dtype, soa_in):
+                          output_dtype, soa_in, soa_out):
     # Re-enter the custom op (NOT the raw kernel): under nested
     # differentiation this fwd is itself traced, and only the custom-
     # vjp-wrapped call keeps the kernel opaque to AD.
     out = _fused_mlp_bwd_op(weights, x, g, act, out_act,
-                            compute_dtype, output_dtype, soa_in)
+                            compute_dtype, output_dtype, soa_in, soa_out)
     return out, (weights, x, g)
 
 
 def _fused_mlp_bwd_op_bwd(act, out_act, compute_dtype, output_dtype, soa_in,
-                          residuals, cot):
+                          soa_out, residuals, cot):
     weights, x, g = residuals
 
     def ref_bwd(weights, x, g):
         _, vjp = jax.vjp(
             lambda w, xx: _jnp_mlp_ref(w, xx, act, out_act, compute_dtype,
-                                       output_dtype, soa_in), weights, x)
+                                       output_dtype, soa_in, soa_out),
+            weights, x)
         dw, dx = vjp(g)
         return tuple(dw), dx
 
@@ -315,14 +349,15 @@ _fused_mlp_bwd_op.defvjp(_fused_mlp_bwd_op_fwd, _fused_mlp_bwd_op_bwd)
 
 
 def _fused_mlp_vjp_bwd(act, out_act, compute_dtype, output_dtype, soa_in,
-                       residuals, g):
+                       soa_out, residuals, g):
     weights, x_orig = residuals
     return _fused_mlp_bwd_op(weights, x_orig, g, act, out_act,
-                             compute_dtype, output_dtype, soa_in)
+                             compute_dtype, output_dtype, soa_in, soa_out)
 
 
 def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
-                               compute_dtype, output_dtype, soa_in):
+                               compute_dtype, output_dtype, soa_in,
+                               soa_out):
     b_axis = 1 if soa_in else 0
     b = x_orig.shape[b_axis]
     w_in, *w_mid, w_out = weights
@@ -335,15 +370,19 @@ def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
     grid = (pb // TILE_B(),)
 
     gp = g.astype(jnp.float32)
-    if gp.shape[0] != pb:
-        gp = jnp.pad(gp, ((0, pb - gp.shape[0]), (0, 0)))
+    g_b_axis = 1 if soa_out else 0
+    if gp.shape[g_b_axis] != pb:
+        pads = [(0, 0), (0, 0)]
+        pads[g_b_axis] = (0, pb - gp.shape[g_b_axis])
+        gp = jnp.pad(gp, pads)
 
     w_in_c = w_in.astype(compute_dtype)
     w_hid_c, n_stack = _stack_hidden(w_mid, width, compute_dtype)
     w_out_c = w_out.astype(compute_dtype)
 
     dx_shape = (d_in, pb) if soa_in else (pb, d_in)
-    kernel = functools.partial(_bwd_kernel, act, out_act, n_hidden, soa_in)
+    kernel = functools.partial(_bwd_kernel, act, out_act, n_hidden, soa_in,
+                               soa_out)
     dx, dw_in, dw_hid, dw_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -352,7 +391,7 @@ def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
             _replicated((d_in, width)),
             _replicated((max(n_stack, 1), width, width)),
             _replicated((width, d_out)),
-            _batch_tiled((d_out,)),
+            _x_spec(d_out, True) if soa_out else _batch_tiled((d_out,)),
         ],
         out_specs=[
             _x_spec(d_in, soa_in),
@@ -382,10 +421,12 @@ _fused_mlp.defvjp(_fused_mlp_vjp_fwd, _fused_mlp_vjp_bwd)
 def fused_mlp_apply(weights: List[jax.Array], x: jax.Array, *,
                     activation: Activation, output_activation: Activation,
                     compute_dtype=jnp.bfloat16, output_dtype=jnp.float32,
-                    input_soa: bool = False):
+                    input_soa: bool = False, output_soa: bool = False):
     """Apply the fused MLP to (B, D_in) inputs — or (D_in, B) when
     ``input_soa`` (the grid encoding's native layout; the MXU contracts
     the transposed operand directly, so no relayout happens anywhere).
-    Output is always (B, D_out)."""
+    Output is (B, D_out), or (D_out, B) when ``output_soa`` — the
+    feature-major layout the training loss path consumes at full lane
+    occupancy (see :func:`_out_matmul`)."""
     return _fused_mlp(tuple(weights), x, activation, output_activation,
-                      compute_dtype, output_dtype, input_soa)
+                      compute_dtype, output_dtype, input_soa, output_soa)

@@ -844,9 +844,21 @@ def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
                 value_dtype_str: str, merged: bool,
                 paired: bool) -> jax.Array:
     if not paired:
+        import os
+
         idx_v = _virtualize_idx(idx_local, sizes, c, merged)
-        blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
-                                       _dtype_of(value_dtype_str), merged)
+        if (os.environ.get("TCNN_TPU_SCATTER") == "binned2"
+                and not merged and (r_pad // _LO) % 2 == 0):
+            # Opt-in sub-O(M·R_pad) design attempt — measured slower
+            # (see ops/pallas/binned_scatter.py + ROOFLINE.md).
+            from .binned_scatter import scatter_levels_binned2
+
+            blocks = scatter_levels_binned2(idx_v, w, dcols, r_pad, f,
+                                            c, _dtype_of(value_dtype_str))
+        else:
+            blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
+                                           _dtype_of(value_dtype_str),
+                                           merged)
         return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
     n_lvl = len(sizes)
     b = w.shape[1]

@@ -49,10 +49,11 @@ def bench_image() -> "tuple[np.ndarray, str]":
     """The benchmark/sample fixture image, resolved standalone-first:
 
       1. ``$TCNN_TPU_BENCH_IMAGE`` (any readable image path),
-      2. the repo's committed fixture ``benchmarks/data/fixture.png``
+      2. the reference checkout's photo if mounted (final-loss
+         comparability with the reference's own benchmark numbers and
+         older committed artifacts),
+      3. the repo's committed fixture ``benchmarks/data/fixture.png``
          (a deterministic 1024×1024 render of :func:`synthetic_image`),
-      3. the reference checkout's photo if mounted (numeric
-         comparability with older committed artifacts),
       4. :func:`synthetic_image` in-memory.
 
     Returns (HxWx3 float image, short provenance name).  The framework
@@ -67,10 +68,10 @@ def bench_image() -> "tuple[np.ndarray, str]":
         candidates.append((env, os.path.basename(env)))
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    candidates.append((os.path.join(here, "benchmarks", "data",
-                                    "fixture.png"), "fixture.png"))
     candidates.append(("/root/reference/data/images/albert.jpg",
                        "albert.jpg"))
+    candidates.append((os.path.join(here, "benchmarks", "data",
+                                    "fixture.png"), "fixture.png"))
     for path, name in candidates:
         if os.path.exists(path):
             try:

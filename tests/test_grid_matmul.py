@@ -531,3 +531,42 @@ class TestPairedMatmul:
         y_s = grid_ops.grid_encode(spec, table, x, fast_scatter=False)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
                                    rtol=RTOL, atol=1e-5)
+
+
+class TestBinnedScatter:
+    """The G=2 binned scatter (TCNN_TPU_SCATTER=binned2) — the
+    measured sub-O(M·R_pad) design attempt — must be EXACT against the
+    dense kernel, including the capacity-overflow fallback."""
+
+    def _data(self, rng, n_lvl=2, r_pad=1024, c=4, f=2, b=1024):
+        sizes = tuple([r_pad - 64] * n_lvl)
+        offsets = tuple(np.cumsum([0] + list(sizes))[:-1])
+        idx = rng.randint(0, sizes[0], (n_lvl * c, b)).astype(np.int32)
+        w = rng.rand(n_lvl * c, b).astype(np.float32)
+        dc = rng.randn(n_lvl * f, b).astype(np.float32)
+        return (jnp.asarray(idx), jnp.asarray(w), jnp.asarray(dc),
+                sizes, offsets)
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_parity_vs_dense(self, monkeypatch, dtype):
+        rng = np.random.RandomState(11)
+        idx, w, dc, sizes, offsets = self._data(rng)
+        n_flat = (sum(sizes) + 64 * len(sizes)) * 2
+        args = (idx, w, dc, sizes, offsets, 2, 4, 1024, n_flat, dtype)
+        dense = np.asarray(gm.mm_scatter(*args))
+        monkeypatch.setenv("TCNN_TPU_SCATTER", "binned2")
+        binned = np.asarray(gm.mm_scatter(*args))
+        np.testing.assert_allclose(binned, dense, rtol=1e-5, atol=1e-5)
+
+    def test_overflow_falls_back_exactly(self, monkeypatch):
+        """All indices in ONE half overflow the bucket capacity — the
+        count check must route to the dense kernel (same numbers)."""
+        rng = np.random.RandomState(12)
+        idx, w, dc, sizes, offsets = self._data(rng, n_lvl=1)
+        idx = idx % 256 + 512          # every row in the upper half
+        n_flat = (sizes[0] + 64) * 2
+        args = (idx, w, dc, sizes, offsets, 2, 4, 1024, n_flat, "float32")
+        dense = np.asarray(gm.mm_scatter(*args))
+        monkeypatch.setenv("TCNN_TPU_SCATTER", "binned2")
+        binned = np.asarray(gm.mm_scatter(*args))
+        np.testing.assert_allclose(binned, dense, rtol=1e-5, atol=1e-5)
