@@ -236,6 +236,22 @@ def main(which):
         slope(lambda K: scan_over(body_loss, K, state),
               label="loss+grads (no opt)")
 
+        def body_opt(st, key):
+            # Optimizer in isolation: synthetic grads derived from the
+            # carry (data dependency) with the params' own pytree
+            # structure; localizes the full-step minus loss+grads gap.
+            g = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32) * 1e-6, st.params)
+            opt_state, params = tr.optimizer.step(st.opt_state, g,
+                                                  st.params)
+            import tcnn_tpu
+
+            return tcnn_tpu.trainer.TrainerState(
+                params=params, opt_state=opt_state, step=st.step + 1)
+
+        slope(lambda K: scan_over(body_opt, K, state),
+              label="optimizer.step only")
+
         step_fn = tr.step_fn()
 
         def body_step(st, key):

@@ -682,6 +682,23 @@ def _mm_budgets():
             int(os.environ.get("TCNN_TPU_MM_BUDGET_UNPAIRED", 800_000)))
 
 
+def _mm_max_rows():
+    """Hard VMEM guard for the matmul kernels: the hi one-hot is
+    (size/128, tile) bf16 — at the default 4096 tile a 2^16-row level
+    costs 4 MB of VMEM for that operand alone.  Levels past this cap
+    go serial regardless of MAC budget."""
+    return int(os.environ.get("TCNN_TPU_MM_MAX_ROWS", 1 << 16))
+
+
+def _xor_flag(m, direction) -> bool:
+    """XOR-pair eligibility of an lv_meta row for one direction
+    ("gather"/"scatter"); the row flag is absent on the 3-tuple metas
+    built by the sharded path, where xor pairing stays off."""
+    from .pallas.grid_matmul import xor_pair_mode
+
+    return len(m) > 3 and bool(m[3]) and direction in xor_pair_mode()
+
+
 def _route_levels(fc, flat_dtype, b):
     """-> (mm_levels, serial_levels) position lists into lv_meta."""
     from .pallas.grid_matmul import _value_passes, batch_tile
@@ -691,9 +708,16 @@ def _route_levels(fc, flat_dtype, b):
     n_passes = _value_passes(flat_dtype)
     mm, serial = [], []
     usable = batch_tile(b) != 0 and _pallas_backend_ok()
-    for i, (p, size, off) in enumerate(lv_meta):
+    for i, m in enumerate(lv_meta):
+        p, size = m[0], m[1]
         budget = bud_p if p else bud_u
-        if usable and size * f * n_passes <= budget:
+        # XOR pairing halves the per-update MAC bill, doubling the
+        # table size at which the matmul kernels beat the serial ones
+        # (counted only when the SCATTER direction runs xor — the
+        # backward dominates the per-level cost this routing weighs).
+        cost = size * f * n_passes // (2 if _xor_flag(m, "scatter")
+                                       else 1)
+        if usable and cost <= budget and size <= _mm_max_rows():
             mm.append(i)
         else:
             serial.append(i)
@@ -760,20 +784,29 @@ def _mm_classes(lv_meta, positions):
     return out
 
 
-def _mm_class_plan(lv_meta, positions):
-    """_mm_classes plus pair-packing: when TCNN_TPU_MM_PAIRED is set,
-    levels with dim-0-adjacent corner rows (lv_meta paired flag) are
-    classed separately and dispatched to the pair-packed kernels.
+def _mm_class_plan(lv_meta, positions, direction):
+    """_mm_classes plus pair-packing for one direction.
+
+    XOR-pair-eligible levels (lv_meta[3]) whose ``direction`` is
+    enabled in grid_matmul.xor_pair_mode() (default: gather only) are
+    classed separately and dispatched to the XOR-paired kernels —
+    halved MXU cost, overflow-guarded.  Of the remainder,
+    TCNN_TPU_MM_PAIRED routes strict-adjacency levels to the legacy
+    carry-plane pair kernels (kept for A/B).
     Yields (levels, r_pad, merged, paired)."""
     from .pallas.grid_matmul import paired_mm_enabled
 
+    pos_x = [i for i in positions if _xor_flag(lv_meta[i], direction)]
+    rest = [i for i in positions if not _xor_flag(lv_meta[i], direction)]
+    for levels, r_pad, mg in _mm_classes(lv_meta, pos_x):
+        yield levels, r_pad, mg, "xor"
     if not paired_mm_enabled():
-        for levels, r_pad, mg in _mm_classes(lv_meta, positions):
+        for levels, r_pad, mg in _mm_classes(lv_meta, rest):
             yield levels, r_pad, mg, False
         return
-    pos_p = [i for i in positions if lv_meta[i][0]]
-    pos_u = [i for i in positions if not lv_meta[i][0]]
-    for pos, pr in ((pos_p, True), (pos_u, False)):
+    pos_p = [i for i in rest if lv_meta[i][0]]
+    pos_u = [i for i in rest if not lv_meta[i][0]]
+    for pos, pr in ((pos_p, "carry"), (pos_u, False)):
         for levels, r_pad, mg in _mm_classes(lv_meta, pos):
             yield levels, r_pad, mg, pr
 
@@ -810,7 +843,7 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
     idx3 = idx.reshape(n_lvl, c, b)
     ws3 = ws.reshape(n_lvl, c, b)
     pieces = {}
-    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm):
+    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "gather"):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         cols_g = gm.mm_gather(
@@ -910,7 +943,7 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     unpaired = [i for i in serial if not lv_meta[i][0]]
 
     dflat = None
-    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm):
+    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "scatter"):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         dc_g = _sel_rows(dc3, levels).reshape(-1, b)
@@ -1100,11 +1133,25 @@ def grid_encode(
             # scatter weights differ from the forward weights).
             # Per-level pairing eligibility: dense/tiled stride
             # indexing always has dim-0-adjacent corner rows; hash
-            # levels only under the additive coherent hash.
+            # levels only under the additive coherent hash.  The 4th
+            # element marks XOR-pair eligibility (shared-hi corner
+            # pairs; see grid_matmul's XOR-paired section): adjacency
+            # levels qualify when the carry rate (lane crossings
+            # 1/128 + level wraps ~0.5/(res−1)) stays small, and
+            # CoherentPrime power-of-two levels qualify because
+            # factors[0] == 1 and % 2^k is a bitmask.
+            def _xor_ok(lv):
+                adjacent = ((not lv.use_hash)
+                            or spec.hash_type == HashType.COHERENT_ADD)
+                if adjacent:
+                    return lv.resolution >= 64
+                return (spec.hash_type == HashType.COHERENT_PRIME
+                        and lv.size & (lv.size - 1) == 0)
+
             lv_meta = tuple(
                 ((not lv.use_hash)
                  or spec.hash_type == HashType.COHERENT_ADD,
-                 lv.size, lv.offset)
+                 lv.size, lv.offset, _xor_ok(lv))
                 for lv in (spec.levels[li] for li in live))
             try:
                 cols = _grid_interpolate(flat, idx, ws, ws_bwd,

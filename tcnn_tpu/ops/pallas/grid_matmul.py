@@ -137,15 +137,29 @@ def _virtualize_idx(idx_local: jax.Array, sizes, c: int,
 
 
 def _onehot_mode() -> str:
-    """One-hot build route: "i32" (default — iota compare + i1→bf16
-    mask cast) or "arith" (bf16 relu(1−|iota−v|), no i1 masks).
-    Measured on chip (flagship step, B=2^18): i32 21.5 ms vs arith
-    24.8 ms — the packed-bf16 arithmetic build LOSES to the compare
-    route (the 3-op chain + iota convert outweighs the mask cast), so
-    the compare stays the default and arith remains for A/B."""
+    """One-hot build route:
+
+    * "i32" — i32 iota compare + i1→bf16 mask cast (an (8,128)-tiled
+      i1 relayouts/packs to the bf16 tiling at the cast).
+    * "arith" — bf16 relu(1−|iota−v|), no masks.  Measured SLOWER on
+      chip round 4a (flagship step: 24.8 vs 21.5 ms — the 3-op chain +
+      iota convert outweighs the mask cast).
+    * "sel" — bf16 iota compare (exact for integer values ≤ 256) whose
+      i1 mask is (16,128)-born, so a bf16 SELECT against constant 0/1
+      needs NO relayout and no multiply.
+    """
     import os
 
     return os.environ.get("TCNN_TPU_ONEHOT", "i32")
+
+
+def _sel_onehot(iota_b, v) -> jax.Array:
+    """bf16 one-hot via bf16-born compare + same-tiling select.
+    iota_b: (n, T) bf16 prebuilt iota; v: (1, T) integer row (any int
+    dtype), values must be < 257 for bf16 exactness."""
+    mask = iota_b == v.astype(jnp.bfloat16)
+    return jnp.where(mask, jnp.ones((), jnp.bfloat16),
+                     jnp.zeros((), jnp.bfloat16))
 
 
 def _bf16_iota(n: int, tt: int):
@@ -180,11 +194,12 @@ def _onehot_pair(idx, hi_n: int, tt: int, iotas=None):
     """
     hi = idx // _LO
     lo = idx % _LO
-    if hi_n <= 256 and _onehot_mode() != "i32":
+    mode = _onehot_mode()
+    if hi_n <= 256 and mode != "i32":
         iota_hi_b, iota_lo_b = iotas or (_bf16_iota(hi_n, tt),
                                          _bf16_iota(_LO, tt))
-        return (_arith_onehot(iota_hi_b, hi),
-                _arith_onehot(iota_lo_b, lo))
+        build = _sel_onehot if mode == "sel" else _arith_onehot
+        return build(iota_hi_b, hi), build(iota_lo_b, lo)
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
     # Mask by MULTIPLICATION, not select (see docstring).
@@ -453,6 +468,404 @@ def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
     cc3 = carry.reshape(lg, hi_n, _LO)[:, :, :n_passes * f] \
                .reshape(lg, hi_n, f, n_passes).sum(axis=3)
     return blocks, cc3
+
+
+# ---------------------------------------------------------------------------
+# XOR-paired kernels: share ONE hi-block one-hot between both dim-0
+# corners of a sample.  The even/odd corner rows of a pair land in the
+# SAME 128-row hi block with high probability whenever the indexing is
+# low-bit structured:
+#   * dense/tiled strides (stride_0 = 1): idx_o = idx_e + 1 (mod size)
+#     — same hi unless lo == 127 or the level wraps;
+#   * HashType.CoherentAdd: idx_o = idx_e + 1 (mod size) by
+#     construction;
+#   * HashType.CoherentPrime with a power-of-two level size (every
+#     capped hash level): factors[0] == 1 (common_device.h:653) and
+#     ``% 2^k`` is a bitmask, so idx = (c0 ^ m) & (2^k−1) and
+#     incrementing c0 flips only bits [0, t] with t = count of
+#     trailing ones — the hi bits (≥7) match unless t ≥ 7, i.e. with
+#     probability 127/128 under uniform inputs.  This covers the
+#     REFERENCE's default hash (grid.h: HashType::CoherentPrime).
+# When the pair shares hi, one (hi_n, T)×(T, 128) contraction per
+# (feature, pass) serves BOTH corners (the odd value rides its own lo
+# lane of the same value column) — HALVING the MXU cost that dominates
+# the unpaired kernels.  The rare non-shared ("carry") odd corners are
+# COMPACTED in-kernel: a log-shift prefix sum ranks them, a (K, T)
+# one-hot permutation matmul moves their (hi, lo, value) payload into
+# K ≤ 256 columns, and one tiny (hi_n, K) contraction scatters them
+# exactly.  The kernel takes the FULL odd index, so level wrap-around
+# needs no special casing (a wrapped odd corner simply lands in a
+# different hi block and rides the carry path).  Capacity overflow
+# (> K carries in one (slot, tile)) is detected by the caller with a
+# cheap XLA count and the whole class falls back to the dense kernel
+# via lax.cond, so results are exact for EVERY input; K is sized so
+# uniform data overflows with negligible probability.
+# Deterministic (fixed accumulation order), like every kernel here.
+# ---------------------------------------------------------------------------
+
+
+def xor_pair_mode() -> frozenset:
+    """Directions routed to the XOR-paired kernels.
+
+    TCNN_TPU_MM_XOR ∈ {"0", "gather", "scatter", "1"/"both"}.
+    Default "gather": measured on chip (flagship config_hash, B=2^18,
+    bf16 policy P=1) the shared-hi trick WINS the forward gather
+    (~1.5 ms — one hi one-hot + half the MXU gather MACs per pair)
+    but LOSES the training scatter (22.9 vs 20.9 ms/step with both
+    directions on: at P=1 the scatter is VPU-bound, and the carry
+    machinery + the dest prologue + the cond fallback's materialized
+    operands outweigh the halved MACs).  See ROOFLINE.md round-4."""
+    import os
+
+    v = os.environ.get("TCNN_TPU_MM_XOR", "gather")
+    if v == "0":
+        return frozenset()
+    if v in ("1", "both"):
+        return frozenset(("gather", "scatter"))
+    return frozenset((v,))
+
+
+def xor_carry_cap() -> int:
+    """Carry-column capacity K per (slot, batch-tile); 128-multiple.
+
+    Sizing: carries per (slot, 4096-tile) are ~Poisson(T·rate) with
+    rate ≤ 1/128 + 0.5/(res−1) ≤ ~1.6% for eligible levels
+    (grid_ops._xor_ok), i.e. mean ≤ 65 — K=128 leaves ≥ 8σ headroom,
+    and overflow only costs a dense-kernel fallback step, never
+    correctness."""
+    import os
+
+    return int(os.environ.get("TCNN_TPU_XOR_K", 128))
+
+
+def _xor_diag() -> tuple:
+    """Perf-diagnosis switches (NOT for production use):
+    TCNN_TPU_XOR_NOGUARD=1 skips the overflow lax.cond (assumes no
+    overflow); TCNN_TPU_XOR_NOCARRY=1 drops the carry pass entirely
+    (WRONG numerics — isolates its cost on chip)."""
+    import os
+
+    return (bool(os.environ.get("TCNN_TPU_XOR_NOGUARD")),
+            bool(os.environ.get("TCNN_TPU_XOR_NOCARRY")))
+
+
+def _carry_compact(dest, iota_k, payload_rows, iota_k_b=None):
+    """Compact the masked columns of ``payload_rows`` into the first K
+    columns (K = iota_k rows).
+
+    dest: (1, T) i32 carry ranks from :func:`xor_dest` (−1 at
+    non-carry columns, computed in the XLA prologue at full batch
+    efficiency — an in-kernel lane cumsum runs on (1, T) rows at 1/8
+    sublane occupancy).  payload_rows: list of (1, T) bf16 rows
+    (already masked).  iota_k_b: optional (K, T) bf16 iota — selects
+    the bf16-compare P build ("sel" one-hot route; exact for K ≤ 256).
+    Returns (len(rows), K) f32 compacted payload — column j holds the
+    j-th carry column's payload, zero past the count.  Carries beyond
+    K were clamped by xor_dest and their tiles routed to the dense
+    kernel by the overflow cond."""
+    if iota_k_b is not None:
+        p_c = _sel_onehot(iota_k_b, dest)        # (K, T)
+    else:
+        p_c = (iota_k == dest).astype(jnp.bfloat16)
+    y = jnp.concatenate(payload_rows, axis=0)    # (rows, T) bf16
+    return jax.lax.dot_general(
+        y, p_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32), p_c
+
+
+def xor_dest(idx_e_v: jax.Array, idx_o_v: jax.Array, b: int):
+    """Carry ranks + overflow flag for the XOR-paired kernels.
+
+    idx_*_v: (slots, B) KERNEL-space rows.  Returns (dest, ok):
+    dest (slots, B) i32 — per-(slot, batch-tile) rank of each carry
+    column (hi_e != hi_o), −1 elsewhere; ok scalar bool — no
+    (slot, tile) exceeds the carry capacity K."""
+    t = batch_tile(b)
+    k_cap = min(xor_carry_cap(), t)
+    m = (idx_e_v // _LO) != (idx_o_v // _LO)
+    m3 = m.reshape(m.shape[0], b // t, t)
+    ranks = jnp.cumsum(m3.astype(jnp.int32), axis=2)
+    dest = jnp.where(m3, ranks - 1, -1)
+    ok = jnp.max(ranks[..., -1]) <= k_cap
+    return dest.reshape(m.shape[0], b), ok
+
+
+def _scatter_kernel_xor(ccp: int, cp: int, f: int, hi_n: int,
+                        n_passes: int, k_cap: int, idx_e_ref, idx_o_ref,
+                        dest_ref, w_e_ref, w_o_ref, dc_ref, out_ref):
+    """One (table-block, batch-tile) step over CCP corner-PAIR slots.
+
+    idx_e_ref/idx_o_ref: (1, CCP, T) int32 kernel-space rows of the
+    even/odd corner (odd = FULL index — wraps and hash carries welcome).
+    dest_ref: (1, CCP, T) int32 carry ranks (xor_dest).
+    w_e_ref/w_o_ref: (1, CCP, T) f32 corner weights.
+    dc_ref: (1, (CCP//CP)·F, T) f32 SoA cotangent rows.
+    out_ref: (F, HI, 128) f32 gradient planes.
+    """
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tt = idx_e_ref.shape[2]
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tt), 0)
+    iota_hi_k = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k_cap), 0)
+    iota_lo_k = jax.lax.broadcasted_iota(jnp.int32, (_LO, k_cap), 0)
+    use_sel = _onehot_mode() == "sel" and hi_n <= 256
+    iota_hi_b = _bf16_iota(hi_n, tt) if use_sel else None
+    iota_lo_b = _bf16_iota(_LO, tt) if use_sel else None
+    iota_k_b = _bf16_iota(k_cap, tt) if use_sel else None
+    accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
+    for ci in range(ccp):
+        idx_e = idx_e_ref[0, ci:ci + 1, :]
+        idx_o = idx_o_ref[0, ci:ci + 1, :]
+        dest = dest_ref[0, ci:ci + 1, :]
+        hi_e = idx_e // _LO
+        hi_o = idx_o // _LO
+        lo_o = idx_o % _LO
+        m_i = (dest >= 0).astype(jnp.int32)
+        mb = m_i.astype(jnp.bfloat16)
+        w_e_row = w_e_ref[0, ci:ci + 1, :]
+        w_o_row = w_o_ref[0, ci:ci + 1, :]
+        if use_sel:
+            # bf16-born compares: (16,128)-tiled i1 masks drive bf16
+            # SELECTS with no relayout and no 0/1-multiply pass.
+            hihot = _sel_onehot(iota_hi_b, hi_e)
+            m_e = iota_lo_b == (idx_e % _LO).astype(jnp.bfloat16)
+            m_o = ((iota_lo_b == lo_o.astype(jnp.bfloat16))
+                   & (hi_e.astype(jnp.bfloat16)
+                      == hi_o.astype(jnp.bfloat16)))
+            lo_e_hot = lo_o_hot = None
+        else:
+            hihot = (iota_hi == hi_e).astype(jnp.bfloat16)
+            lo_e_hot = (iota_lo == (idx_e % _LO)).astype(jnp.bfloat16)
+            lo_o_hot = ((iota_lo == lo_o).astype(jnp.bfloat16)
+                        * (1.0 - mb))
+            m_e = m_o = None
+        # i32 route masks by 0/1 MULTIPLY (Mosaic cannot relayout an
+        # i32-born i1 mask to bf16 select tiling).  Caveat: a
+        # non-finite value in a masked-out lane becomes 0·Inf = NaN and
+        # contaminates the plane, where a select would zero it; only
+        # reachable when the incoming cotangent is already non-finite
+        # (diverged training).  The sel route selects (clean zeros).
+        payload = [(hi_o * m_i).astype(jnp.bfloat16),
+                   (lo_o * m_i).astype(jnp.bfloat16)]
+        zero_b = jnp.zeros((), jnp.bfloat16)
+        for fi in range(f):
+            dc_row = dc_ref[0, (ci // cp) * f + fi:(ci // cp) * f + fi + 1, :]
+            terms_e = _split_bf16(w_e_row * dc_row, n_passes)
+            terms_o = _split_bf16(w_o_row * dc_row, n_passes)
+            for p in range(n_passes):
+                if use_sel:
+                    w_t = (jnp.where(m_e, terms_e[p], zero_b)
+                           + jnp.where(m_o, terms_o[p], zero_b))
+                else:
+                    w_t = lo_e_hot * terms_e[p] + lo_o_hot * terms_o[p]
+                accs[fi] = accs[fi] + jax.lax.dot_general(
+                    hihot, w_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                payload.append(terms_o[p] * mb)
+        if _xor_diag()[1]:          # NOCARRY diagnosis mode
+            continue
+        yc, _ = _carry_compact(dest, iota_k, payload, iota_k_b)
+        hihot_c = (iota_hi_k == yc[0:1].astype(jnp.int32)) \
+            .astype(jnp.bfloat16)
+        lohot_c = (iota_lo_k == yc[1:2].astype(jnp.int32)) \
+            .astype(jnp.bfloat16)
+        for fi in range(f):
+            for p in range(n_passes):
+                r = 2 + fi * n_passes + p
+                w_tc = lohot_c * yc[r:r + 1].astype(jnp.bfloat16)
+                accs[fi] = accs[fi] + jax.lax.dot_general(
+                    hihot_c, w_tc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    out_ref[...] += jnp.stack(accs)
+
+
+def scatter_levels_matmul_xor(idx_e: jax.Array, idx_o: jax.Array,
+                              dest: jax.Array,
+                              w_e: jax.Array, w_o: jax.Array,
+                              dcols: jax.Array, r_pad: int, f: int,
+                              c: int, value_dtype=jnp.float32,
+                              merged: bool = False) -> jax.Array:
+    """XOR-paired MXU scatter (see the section comment).
+
+    idx_e/idx_o: (Lg·C/2, B) int32 KERNEL-space even/odd corner rows
+    (idx_o is the full odd index — no adjacency assumption).
+    dest: (Lg·C/2, B) int32 carry ranks from :func:`xor_dest`.
+    w_e/w_o: (Lg·C/2, B) f32.  dcols: (Lg·F, B) f32 SoA cotangent.
+    Returns (n_blocks, r_pad, F) f32 — same contract as
+    :func:`scatter_levels_matmul`.  EXACT only when no (slot, tile)
+    has more than xor_carry_cap() carries; callers must guard with
+    xor_dest's ok flag (mm_scatter does).
+    """
+    lcp, b = idx_e.shape
+    cp = c // 2
+    n_lvl = lcp // cp
+    lg, ccp = (1, lcp) if merged else (n_lvl, cp)
+    t = batch_tile(b)
+    hi_n = r_pad // _LO
+    n_passes = _value_passes(value_dtype)
+    k_cap = min(xor_carry_cap(), t or 0)
+    if t == 0:
+        raise ValueError(f"batch {b} has no usable tile")
+
+    fdc = (ccp // cp) * f
+    kernel = functools.partial(_scatter_kernel_xor, ccp, cp, f, hi_n,
+                               n_passes, k_cap)
+    out = pl.pallas_call(
+        kernel,
+        grid=(lg, b // t),
+        in_specs=[
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, fdc, t), lambda l, tb: (l, 0, tb)),
+        ],
+        out_specs=pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx_e.astype(jnp.int32).reshape(lg, ccp, b),
+      idx_o.astype(jnp.int32).reshape(lg, ccp, b),
+      dest.astype(jnp.int32).reshape(lg, ccp, b),
+      w_e.astype(jnp.float32).reshape(lg, ccp, b),
+      w_o.astype(jnp.float32).reshape(lg, ccp, b),
+      dcols.astype(jnp.float32).reshape(lg, fdc, b))
+    return out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
+              .reshape(lg, r_pad, f)
+
+
+def _gather_kernel_xor(ccp: int, f: int, cp: int, hi_n: int,
+                       n_passes: int, k_cap: int, tab_ref, idx_e_ref,
+                       idx_o_ref, dest_ref, w2_ref, out_ref):
+    """XOR-paired fused gather + interpolation.
+
+    tab_ref: (1, P·F·128, HI) bf16 (pack_tables layout).
+    idx_e_ref/idx_o_ref: (1, CCP, T) int32 even/odd corner rows.
+    dest_ref: (1, CCP, T) int32 carry ranks (xor_dest).
+    w2_ref: (1, 2·CCP, T) f32 interleaved (even, odd) weights.
+    out_ref: (1, n_lvl·F, T) f32.
+    """
+    tt = idx_e_ref.shape[2]
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tt), 0)
+    iota_hi_k = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k_cap), 0)
+    iota_lo_k = jax.lax.broadcasted_iota(jnp.int32, (_LO, k_cap), 0)
+    use_sel = _onehot_mode() == "sel" and hi_n <= 256
+    iota_hi_b = _bf16_iota(hi_n, tt) if use_sel else None
+    iota_k_b = _bf16_iota(k_cap, tt) if use_sel else None
+    n_lvl = ccp // cp
+
+    rows = []
+    for l in range(n_lvl):
+        accs = [jnp.zeros((1, tt), jnp.float32) for _ in range(f)]
+        for cj in range(cp):
+            ci = l * cp + cj
+            idx_e = idx_e_ref[0, ci:ci + 1, :]
+            idx_o = idx_o_ref[0, ci:ci + 1, :]
+            dest = dest_ref[0, ci:ci + 1, :]
+            hi_o = idx_o // _LO
+            lo_o = idx_o % _LO
+            m_i = (dest >= 0).astype(jnp.int32)
+            shared = dest < 0
+            # The lo SELECTS over the f32 z plane need i32-born
+            # (8,128)-tiled masks; only the bf16 MXU operand (hihot)
+            # takes the sel route.
+            hihot = (_sel_onehot(iota_hi_b, idx_e // _LO) if use_sel
+                     else (iota_hi == idx_e // _LO).astype(jnp.bfloat16))
+            lo_e_hot = iota_lo == (idx_e % _LO)
+            lo_o_hot = (iota_lo == lo_o) & shared
+            nocarry = _xor_diag()[1]
+            if not nocarry:
+                yc, p_c = _carry_compact(
+                    dest, iota_k,
+                    [(hi_o * m_i).astype(jnp.bfloat16),
+                     (lo_o * m_i).astype(jnp.bfloat16)], iota_k_b)
+                hihot_c = (iota_hi_k == yc[0:1].astype(jnp.int32)) \
+                    .astype(jnp.bfloat16)
+                lohot_c = iota_lo_k == yc[1:2].astype(jnp.int32)
+            w_e = w2_ref[0, 2 * ci:2 * ci + 1, :]
+            w_o = w2_ref[0, 2 * ci + 1:2 * ci + 2, :]
+            for fi in range(f):
+                z = jnp.zeros((_LO, tt), jnp.float32)
+                z_c = jnp.zeros((_LO, k_cap), jnp.float32)
+                for p in range(n_passes):
+                    r = (p * f + fi) * _LO
+                    z = z + jax.lax.dot_general(
+                        tab_ref[0, r:r + _LO, :], hihot,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if not nocarry:
+                        z_c = z_c + jax.lax.dot_general(
+                            tab_ref[0, r:r + _LO, :], hihot_c,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                y_e = jnp.sum(jnp.where(lo_e_hot, z, 0.0), axis=0,
+                              keepdims=True)
+                y_o = jnp.sum(jnp.where(lo_o_hot, z, 0.0), axis=0,
+                              keepdims=True)
+                if not nocarry:
+                    y_ck = jnp.sum(jnp.where(lohot_c, z_c, 0.0), axis=0,
+                                   keepdims=True)           # (1, K)
+                    # Re-inject compacted carry values at their
+                    # original columns (P_c is the forward permutation;
+                    # bf16 term split keeps f32-table precision
+                    # through the MXU).
+                    for term in _split_bf16(y_ck, n_passes):
+                        y_o = y_o + jax.lax.dot_general(
+                            term, p_c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                accs[fi] = accs[fi] + w_e * y_e + w_o * y_o
+        rows.extend(accs)
+    out_ref[...] = jnp.concatenate(rows, axis=0)[None]
+
+
+def _gather_levels_matmul_xor_impl(tabT: jax.Array, idx_e: jax.Array,
+                                   idx_o: jax.Array, dest: jax.Array,
+                                   w2: jax.Array,
+                                   f: int, c: int, n_passes: int,
+                                   merged: bool = False) -> jax.Array:
+    """XOR-paired gather wrapper (same contract as the paired impl:
+    returns (Lg·F, B) f32 columns; w2 row 2·pair+eo).  Exact only under
+    the carry-capacity guard (see scatter_levels_matmul_xor)."""
+    lcp, b = idx_e.shape
+    cp = c // 2
+    n_lvl = lcp // cp
+    lg, ccp = (1, lcp) if merged else (n_lvl, cp)
+    pn, hi_n = tabT.shape[1], tabT.shape[2]
+    t = batch_tile(b)
+    if t == 0:
+        raise ValueError(f"batch {b} has no usable tile")
+    k_cap = min(xor_carry_cap(), t)
+
+    kernel = functools.partial(_gather_kernel_xor, ccp, f, cp, hi_n,
+                               n_passes, k_cap)
+    out = pl.pallas_call(
+        kernel,
+        grid=(lg, b // t),
+        in_specs=[
+            pl.BlockSpec((1, pn, hi_n), lambda l, tb: (l, 0, 0)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, ccp, t), lambda l, tb: (l, 0, tb)),
+            pl.BlockSpec((1, 2 * ccp, t), lambda l, tb: (l, 0, tb)),
+        ],
+        out_specs=pl.BlockSpec((1, (ccp // cp) * f, t),
+                               lambda l, tb: (l, 0, tb)),
+        out_shape=jax.ShapeDtypeStruct((lg, (ccp // cp) * f, b),
+                                       jnp.float32),
+        interpret=interpret_mode(),
+    )(tabT, idx_e.astype(jnp.int32).reshape(lg, ccp, b),
+      idx_o.astype(jnp.int32).reshape(lg, ccp, b),
+      dest.astype(jnp.int32).reshape(lg, ccp, b),
+      w2.astype(jnp.float32).reshape(lg, 2 * ccp, b))
+    return out.reshape(n_lvl * f, b)
 
 
 # ---------------------------------------------------------------------------
@@ -773,13 +1186,35 @@ def _lazy_feats(flat, idx_local, offsets, f, c):
 def _mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
                sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                f: int, c: int, r_pad: int, merged: bool,
-               paired: bool) -> jax.Array:
+               paired) -> jax.Array:
     tabT = pack_tables(flat, sizes, offsets, f, r_pad, flat.dtype, merged)
     n_passes = _value_passes(flat.dtype)
     if not paired:
         idx_v = _virtualize_idx(idx_local, sizes, c, merged)
         return _gather_levels_matmul_impl(tabT, idx_v, w, f, c,
                                           n_passes, merged)
+    if paired == "xor":
+        n_lvl = len(sizes)
+        b = w.shape[1]
+        cp = c // 2
+        idx3 = idx_local.reshape(n_lvl, c, b)
+        ws3 = w.astype(jnp.float32).reshape(n_lvl, c, b)
+        idx_ev = _virtualize_idx(idx3[:, 0::2, :].reshape(-1, b),
+                                 sizes, cp, merged)
+        idx_ov = _virtualize_idx(idx3[:, 1::2, :].reshape(-1, b),
+                                 sizes, cp, merged)
+        w2 = jnp.stack([ws3[:, 0::2, :], ws3[:, 1::2, :]],
+                       axis=2).reshape(n_lvl * cp * 2, b)
+        dest, ok = xor_dest(idx_ev, idx_ov, b)
+        xor_fn = lambda: _gather_levels_matmul_xor_impl(
+            tabT, idx_ev, idx_ov, dest, w2, f, c, n_passes, merged)
+        if _xor_diag()[0]:          # NOGUARD diagnosis mode
+            return xor_fn()
+        return jax.lax.cond(
+            ok, xor_fn,
+            lambda: _gather_levels_matmul_impl(
+                tabT, _virtualize_idx(idx_local, sizes, c, merged),
+                w, f, c, n_passes, merged))
     n_lvl = len(sizes)
     b = w.shape[1]
     cp = c // 2
@@ -820,20 +1255,28 @@ def _mm_gather_bwd(sizes, offsets, f, c, r_pad, merged, paired, res, ct):
 _mm_gather.defvjp(_mm_gather_fwd, _mm_gather_bwd)
 
 
+def _norm_paired(paired):
+    """False | True/"carry" (strict-adjacency pair kernels) | "xor"."""
+    if paired is True:
+        return "carry"
+    return paired or False
+
+
 def mm_gather(flat: jax.Array, idx_local: jax.Array, w: jax.Array,
               sizes: Tuple[int, ...], offsets: Tuple[int, ...],
               f: int, c: int, r_pad: int,
-              merged: bool = False, paired: bool = False) -> jax.Array:
+              merged: bool = False, paired=False) -> jax.Array:
     """Fused gather+interpolate of Lg levels from a flat table.
 
     idx_local is LEVEL-local in both modes (merged-mode intra-class
-    offsets are added internally).  ``paired`` selects the pair-packed
-    kernels (requires dim-0-adjacent corner rows on every level).
+    offsets are added internally).  ``paired``: "carry" (or True)
+    selects the strict-adjacency pair-packed kernels; "xor" the
+    XOR-paired kernels (overflow-guarded, any index pairs).
     Returns (Lg·F, B) f32 columns; linear in ``flat``, bilinear with
     ``w``.  Reverse-differentiable to any order.
     """
     return _mm_gather(flat, idx_local, w, tuple(sizes), tuple(offsets),
-                      f, c, r_pad, bool(merged), bool(paired))
+                      f, c, r_pad, bool(merged), _norm_paired(paired))
 
 
 @functools.partial(jax.custom_vjp,
@@ -842,7 +1285,7 @@ def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
                 sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                 f: int, c: int, r_pad: int, n_flat: int,
                 value_dtype_str: str, merged: bool,
-                paired: bool) -> jax.Array:
+                paired) -> jax.Array:
     if not paired:
         import os
 
@@ -859,6 +1302,31 @@ def _mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
             blocks = scatter_levels_matmul(idx_v, w, dcols, r_pad, f, c,
                                            _dtype_of(value_dtype_str),
                                            merged)
+        return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
+    if paired == "xor":
+        n_lvl = len(sizes)
+        b = w.shape[1]
+        cp = c // 2
+        idx3 = idx_local.reshape(n_lvl, c, b)
+        ws3 = w.astype(jnp.float32).reshape(n_lvl, c, b)
+        idx_ev = _virtualize_idx(idx3[:, 0::2, :].reshape(-1, b),
+                                 sizes, cp, merged)
+        idx_ov = _virtualize_idx(idx3[:, 1::2, :].reshape(-1, b),
+                                 sizes, cp, merged)
+        dest, ok = xor_dest(idx_ev, idx_ov, b)
+        xor_fn = lambda: scatter_levels_matmul_xor(
+            idx_ev, idx_ov, dest, ws3[:, 0::2, :].reshape(-1, b),
+            ws3[:, 1::2, :].reshape(-1, b), dcols, r_pad, f, c,
+            _dtype_of(value_dtype_str), merged)
+        if _xor_diag()[0]:          # NOGUARD diagnosis mode
+            blocks = xor_fn()
+        else:
+            blocks = jax.lax.cond(
+                ok, xor_fn,
+                lambda: scatter_levels_matmul(
+                    _virtualize_idx(idx_local, sizes, c, merged), w,
+                    dcols, r_pad, f, c, _dtype_of(value_dtype_str),
+                    merged))
         return assemble_flat(blocks, sizes, offsets, f, n_flat, merged)
     n_lvl = len(sizes)
     b = w.shape[1]
@@ -912,11 +1380,13 @@ def mm_scatter(idx_local: jax.Array, w: jax.Array, dcols: jax.Array,
                sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                f: int, c: int, r_pad: int, n_flat: int,
                value_dtype_str: str,
-               merged: bool = False, paired: bool = False) -> jax.Array:
+               merged: bool = False, paired=False) -> jax.Array:
     """Deterministic MXU scatter of ``w·dcols`` -> FLAT (n_flat,) f32
     table gradient (levels outside sizes/offsets untouched=0).
-    idx_local is LEVEL-local in both modes; ``paired`` selects the
-    pair-packed kernel (dim-0-adjacent rows required)."""
+    idx_local is LEVEL-local in both modes; ``paired``: "carry" (or
+    True) selects the strict-adjacency pair kernel, "xor" the
+    XOR-paired kernel (overflow-guarded, any index pairs)."""
     return _mm_scatter(idx_local, w, dcols, tuple(sizes),
                        tuple(offsets), f, c, r_pad, n_flat,
-                       value_dtype_str, bool(merged), bool(paired))
+                       value_dtype_str, bool(merged),
+                       _norm_paired(paired))

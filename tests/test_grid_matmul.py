@@ -373,7 +373,7 @@ class TestPairedMatmul:
         # Mixed meta: paired + unpaired levels must land in separate
         # classes; with the env off, one combined plan.
         meta = ((True, 300, 0), (False, 300, 300), (True, 280, 600))
-        plans = list(grid_ops._mm_class_plan(meta, [0, 1, 2]))
+        plans = list(grid_ops._mm_class_plan(meta, [0, 1, 2], "scatter"))
         paired_levels = sorted(sum((lv for lv, _, _, pr in plans if pr), []))
         unpaired_levels = sorted(sum((lv for lv, _, _, pr in plans
                                       if not pr), []))
@@ -570,3 +570,186 @@ class TestBinnedScatter:
         monkeypatch.setenv("TCNN_TPU_SCATTER", "binned2")
         binned = np.asarray(gm.mm_scatter(*args))
         np.testing.assert_allclose(binned, dense, rtol=1e-5, atol=1e-5)
+
+
+class TestXorPaired:
+    """XOR-paired kernels (default-on): one hi-block one-hot serves
+    both dim-0 corners; rare non-shared odd corners ride an in-kernel
+    compacted carry pass; capacity overflow falls back to the dense
+    kernel via lax.cond.  Ground truth: the unpaired kernels and the
+    jnp path."""
+
+    def _pairs(self, rng, sizes, b=512, structured=True):
+        """CoherentPrime-structured (idx_e, idx_o) per level: pow2 mod
+        of c0 ^ m and (c0+1) ^ m — carry rate ≈ 1/128."""
+        n_lvl = len(sizes)
+        c0 = rng.randint(0, 1 << 20, (n_lvl, 1, b)).astype(np.uint32)
+        m = rng.randint(0, 1 << 20, (n_lvl, 1, b)).astype(np.uint32)
+        out_e, out_o = [], []
+        for l, s in enumerate(sizes):
+            if structured:
+                assert s & (s - 1) == 0
+                e = ((c0[l] ^ m[l]) & (s - 1)).astype(np.int32)
+                o = (((c0[l] + 1) ^ m[l]) & (s - 1)).astype(np.int32)
+            else:
+                e = rng.randint(0, s, (1, b)).astype(np.int32)
+                o = rng.randint(0, s, (1, b)).astype(np.int32)
+            out_e.append(e)
+            out_o.append(o)
+        idx_e = np.stack(out_e)              # (L, 1, b) — C=2 pairs=1
+        idx_o = np.stack(out_o)
+        idx_full = np.stack([idx_e, idx_o], axis=2).reshape(n_lvl, 2, b)
+        return idx_full
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    @pytest.mark.parametrize("merged", [False, True])
+    def test_scatter_parity(self, dtype, merged):
+        rng = np.random.RandomState(5)
+        sizes = (512, 512)
+        offsets = (0, 512)
+        r_pad = 512 if not merged else 1024
+        b = 512
+        idx_full = self._pairs(rng, sizes, b)
+        w = rng.rand(2 * 2, b).astype(np.float32)
+        dc = rng.randn(2 * 2, b).astype(np.float32)
+        args = (jnp.asarray(idx_full.reshape(-1, b)), jnp.asarray(w),
+                jnp.asarray(dc), sizes, offsets, 2, 2, r_pad,
+                1024 * 2, dtype, merged)
+        dense = np.asarray(gm.mm_scatter(*args, paired=False))
+        xor = np.asarray(gm.mm_scatter(*args, paired="xor"))
+        np.testing.assert_allclose(xor, dense, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("merged", [False, True])
+    def test_gather_parity_and_grads(self, merged):
+        rng = np.random.RandomState(6)
+        sizes = (512, 512)
+        offsets = (0, 512)
+        r_pad = 512 if not merged else 1024
+        b = 512
+        idx_full = self._pairs(rng, sizes, b)
+        w = rng.rand(2 * 2, b).astype(np.float32)
+        flat = (rng.randn(1024 * 2) * 0.1).astype(np.float32)
+        args = (jnp.asarray(idx_full.reshape(-1, b)), jnp.asarray(w),
+                sizes, offsets, 2, 2, r_pad, merged)
+        dense = np.asarray(gm.mm_gather(jnp.asarray(flat), *args,
+                                        paired=False))
+        xor = np.asarray(gm.mm_gather(jnp.asarray(flat), *args,
+                                      paired="xor"))
+        np.testing.assert_allclose(xor, dense, rtol=1e-5, atol=1e-6)
+        check_grads(
+            lambda t: gm.mm_gather(t, *args, paired="xor"),
+            (jnp.asarray(flat),), order=2, modes=["rev"],
+            rtol=1e-2, atol=1e-3)
+
+    def test_overflow_falls_back_exactly(self):
+        """Unstructured pairs (carry rate ~3/4 at hi_n=4 — way past
+        any capacity) must produce dense-kernel numbers via the cond."""
+        rng = np.random.RandomState(7)
+        sizes = (512,)
+        b = 512
+        idx_full = self._pairs(rng, sizes, b, structured=False)
+        carry = (idx_full[:, 0] // 128) != (idx_full[:, 1] // 128)
+        assert carry.sum() > 256  # genuinely overflows K
+        w = rng.rand(2, b).astype(np.float32)
+        dc = rng.randn(2, b).astype(np.float32)
+        args = (jnp.asarray(idx_full.reshape(-1, b)), jnp.asarray(w),
+                jnp.asarray(dc), sizes, (0,), 2, 2, 512, 1024,
+                "float32")
+        dense = np.asarray(gm.mm_scatter(*args, paired=False))
+        xor = np.asarray(gm.mm_scatter(*args, paired="xor"))
+        np.testing.assert_allclose(xor, dense, rtol=1e-6, atol=1e-6)
+
+    def test_wraps_ride_carry_path(self):
+        """Dense +1 adjacency with forced level/lane wraps: the xor
+        kernel needs NO wrap special-casing (full odd index)."""
+        rng = np.random.RandomState(8)
+        sizes = (300,)
+        b = 512
+        idx_e = rng.randint(0, 300, (1, b)).astype(np.int32)
+        idx_e[0, :8] = [299, 127, 255, 128, 0, 298, 129, 126]
+        idx_o = (idx_e + 1) % 300
+        idx_full = np.stack([idx_e, idx_o], axis=1)   # (1, 2, b)
+        w = rng.rand(2, b).astype(np.float32)
+        dc = rng.randn(2, b).astype(np.float32)
+        args = (jnp.asarray(idx_full.reshape(-1, b)), jnp.asarray(w),
+                jnp.asarray(dc), sizes, (0,), 2, 2, 512, 600 * 2,
+                "float32")
+        dense = np.asarray(gm.mm_scatter(*args, paired=False))
+        xor = np.asarray(gm.mm_scatter(*args, paired="xor"))
+        np.testing.assert_allclose(xor, dense, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("directions", ["gather", "both"])
+    def test_grid_encode_end_to_end_xor_matches_jnp(self, monkeypatch,
+                                                    directions):
+        """Flagship-shaped CoherentPrime spec routes its pow2 hash
+        levels to the xor kernels (default: gather direction only);
+        results must match the pure-jnp path (values + table grads)."""
+        monkeypatch.setenv("TCNN_TPU_MM_XOR", directions)
+        spec = _mk(HashType.COHERENT_PRIME, n_levels=5, hashmap=9,
+                   base=4, scale=2.0)
+        meta_live = [lv for lv in spec.levels]
+        assert any(lv.use_hash and lv.size & (lv.size - 1) == 0
+                   for lv in meta_live)
+        table = jax.random.normal(key(31), (spec.n_entries, 2)) * 0.1
+        x = jax.random.uniform(key(32), (1024, 2))
+
+        def run(fast):
+            def loss(t):
+                y = grid_ops.grid_encode(spec, t, x, fast_scatter=fast)
+                return jnp.sum(y ** 2), y
+            (_, y), g = jax.value_and_grad(loss, has_aux=True)(table)
+            return y, g
+
+        y_f, g_f = run(True)
+        y_s, g_s = run(False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                   rtol=RTOL, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_class_plan_separates_xor_levels(self):
+        meta = ((True, 512, 0, True), (False, 512, 512, False),
+                (True, 512, 1024, True))
+        plans = list(grid_ops._mm_class_plan(meta, [0, 1, 2], "gather"))
+        xor_levels = sorted(sum((lv for lv, _, _, pr in plans
+                                 if pr == "xor"), []))
+        other = sorted(sum((lv for lv, _, _, pr in plans
+                            if pr != "xor"), []))
+        assert xor_levels == [0, 2] and other == [1]
+
+    def test_route_budget_halved_for_xor(self, monkeypatch):
+        monkeypatch.setenv("TCNN_TPU_MM_BUDGET_UNPAIRED", "2000")
+        # Routing only counts the halving when the SCATTER direction
+        # runs xor (the default is gather-only).
+        monkeypatch.setenv("TCNN_TPU_MM_XOR", "both")
+        # size*f = 2048 > budget unpaired; with xor flag the effective
+        # cost halves and the level routes to the matmul kernels.
+        meta_xor = ((False, 1024, 0, True),)
+        meta_plain = ((False, 1024, 0, False),)
+        mm_x, _ = grid_ops._route_levels((2, 4, meta_xor), jnp.bfloat16,
+                                         1 << 12)
+        mm_p, _ = grid_ops._route_levels((2, 4, meta_plain),
+                                         jnp.bfloat16, 1 << 12)
+        assert mm_x == [0] and mm_p == []
+
+    @pytest.mark.parametrize("mode", ["i32", "sel", "arith"])
+    def test_onehot_modes_parity(self, monkeypatch, mode):
+        """Every one-hot build route (i32 compare+cast, bf16-select,
+        bf16-arith) must produce identical numbers through both the
+        xor and dense kernels."""
+        monkeypatch.setenv("TCNN_TPU_ONEHOT", mode)
+        rng = np.random.RandomState(9)
+        sizes = (512,)
+        b = 512
+        idx_full = self._pairs(rng, sizes, b)
+        w = rng.rand(2, b).astype(np.float32)
+        dc = rng.randn(2, b).astype(np.float32)
+        args = (jnp.asarray(idx_full.reshape(-1, b)), jnp.asarray(w),
+                jnp.asarray(dc), sizes, (0,), 2, 2, 512, 1024,
+                "float32")
+        got_x = np.asarray(gm.mm_scatter(*args, paired="xor"))
+        got_d = np.asarray(gm.mm_scatter(*args))
+        monkeypatch.setenv("TCNN_TPU_ONEHOT", "i32")
+        ref = np.asarray(gm.mm_scatter(*args))
+        np.testing.assert_allclose(got_d, ref, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got_x, ref, rtol=1e-6, atol=1e-6)
