@@ -79,7 +79,12 @@ def main(which):
     spec_prime = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5,
                                          hash_type=HashType.COHERENT_PRIME)
     table = grid_ops.init_grid_params(jax.random.key(0), spec).reshape(-1)
-    print(f"table rows={spec.n_entries} B={B}", flush=True)
+    if os.environ.get("MB_TABLE") == "bf16":
+        # Inference-relevant variant: bf16 compute tables (P=1), the
+        # dtype the bf16-policy model feeds grid_encode.
+        table = table.astype(jnp.bfloat16)
+    print(f"table rows={spec.n_entries} B={B} dtype={table.dtype}",
+          flush=True)
 
     def scan_over(body, K, init):
         def run(key):

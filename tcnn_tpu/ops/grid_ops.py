@@ -690,13 +690,16 @@ def _mm_max_rows():
     return int(os.environ.get("TCNN_TPU_MM_MAX_ROWS", 1 << 16))
 
 
-def _xor_flag(m, direction) -> bool:
+def _xor_flag(m, direction, n_passes) -> bool:
     """XOR-pair eligibility of an lv_meta row for one direction
-    ("gather"/"scatter"); the row flag is absent on the 3-tuple metas
-    built by the sharded path, where xor pairing stays off."""
+    ("gather"/"scatter") at a value-pass count (the auto default is
+    on for P=2 f32 tables, off for P=1 bf16 — see
+    grid_matmul.xor_pair_mode); the row flag is absent on the 3-tuple
+    metas built by the sharded path, where xor pairing stays off."""
     from .pallas.grid_matmul import xor_pair_mode
 
-    return len(m) > 3 and bool(m[3]) and direction in xor_pair_mode()
+    return (len(m) > 3 and bool(m[3])
+            and direction in xor_pair_mode(n_passes))
 
 
 def _route_levels(fc, flat_dtype, b):
@@ -715,8 +718,8 @@ def _route_levels(fc, flat_dtype, b):
         # table size at which the matmul kernels beat the serial ones
         # (counted only when the SCATTER direction runs xor — the
         # backward dominates the per-level cost this routing weighs).
-        cost = size * f * n_passes // (2 if _xor_flag(m, "scatter")
-                                       else 1)
+        cost = size * f * n_passes // (
+            2 if _xor_flag(m, "scatter", n_passes) else 1)
         if usable and cost <= budget and size <= _mm_max_rows():
             mm.append(i)
         else:
@@ -784,20 +787,24 @@ def _mm_classes(lv_meta, positions):
     return out
 
 
-def _mm_class_plan(lv_meta, positions, direction):
+def _mm_class_plan(lv_meta, positions, direction, n_passes=1):
     """_mm_classes plus pair-packing for one direction.
 
     XOR-pair-eligible levels (lv_meta[3]) whose ``direction`` is
-    enabled in grid_matmul.xor_pair_mode() (default: gather only) are
-    classed separately and dispatched to the XOR-paired kernels —
-    halved MXU cost, overflow-guarded.  Of the remainder,
+    enabled in grid_matmul.xor_pair_mode(n_passes) (auto default: both
+    directions for P=2 f32 tables where xor measured −20% on chip,
+    none for P=1 bf16 where it measured slower — see that docstring)
+    are classed separately and dispatched to the XOR-paired kernels —
+    halved large-dot MXU cost, overflow-guarded.  Of the remainder,
     TCNN_TPU_MM_PAIRED routes strict-adjacency levels to the legacy
     carry-plane pair kernels (kept for A/B).
     Yields (levels, r_pad, merged, paired)."""
     from .pallas.grid_matmul import paired_mm_enabled
 
-    pos_x = [i for i in positions if _xor_flag(lv_meta[i], direction)]
-    rest = [i for i in positions if not _xor_flag(lv_meta[i], direction)]
+    pos_x = [i for i in positions
+             if _xor_flag(lv_meta[i], direction, n_passes)]
+    rest = [i for i in positions
+            if not _xor_flag(lv_meta[i], direction, n_passes)]
     for levels, r_pad, mg in _mm_classes(lv_meta, pos_x):
         yield levels, r_pad, mg, "xor"
     if not paired_mm_enabled():
@@ -842,8 +849,11 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
     n_lvl = lc // c
     idx3 = idx.reshape(n_lvl, c, b)
     ws3 = ws.reshape(n_lvl, c, b)
+    from .pallas.grid_matmul import _value_passes
+
     pieces = {}
-    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "gather"):
+    for levels, r_pad, mg, pr in _mm_class_plan(
+            lv_meta, mm, "gather", _value_passes(flat.dtype)):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         cols_g = gm.mm_gather(
@@ -942,8 +952,11 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
     paired = [i for i in serial if lv_meta[i][0]]
     unpaired = [i for i in serial if not lv_meta[i][0]]
 
+    from .pallas.grid_matmul import _value_passes as _vp
+
     dflat = None
-    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "scatter"):
+    for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "scatter",
+                                                _vp(flat.dtype)):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         dc_g = _sel_rows(dc3, levels).reshape(-1, b)

@@ -144,22 +144,16 @@ def _onehot_mode() -> str:
     * "arith" — bf16 relu(1−|iota−v|), no masks.  Measured SLOWER on
       chip round 4a (flagship step: 24.8 vs 21.5 ms — the 3-op chain +
       iota convert outweighs the mask cast).
-    * "sel" — bf16 iota compare (exact for integer values ≤ 256) whose
-      i1 mask is (16,128)-born, so a bf16 SELECT against constant 0/1
-      needs NO relayout and no multiply.
+
+    A third route was built and killed: "sel" (bf16 iota compare whose
+    (16,128)-born i1 mask drives a relayout-free bf16 select).  Mosaic
+    on real v5e REJECTS bf16 comparisons inside TPU kernels ("Target
+    does not support this comparison", remote-compile 500), so the
+    route only ever ran in interpret mode and was removed.
     """
     import os
 
     return os.environ.get("TCNN_TPU_ONEHOT", "i32")
-
-
-def _sel_onehot(iota_b, v) -> jax.Array:
-    """bf16 one-hot via bf16-born compare + same-tiling select.
-    iota_b: (n, T) bf16 prebuilt iota; v: (1, T) integer row (any int
-    dtype), values must be < 257 for bf16 exactness."""
-    mask = iota_b == v.astype(jnp.bfloat16)
-    return jnp.where(mask, jnp.ones((), jnp.bfloat16),
-                     jnp.zeros((), jnp.bfloat16))
 
 
 def _bf16_iota(n: int, tt: int):
@@ -194,12 +188,11 @@ def _onehot_pair(idx, hi_n: int, tt: int, iotas=None):
     """
     hi = idx // _LO
     lo = idx % _LO
-    mode = _onehot_mode()
-    if hi_n <= 256 and mode != "i32":
+    if hi_n <= 256 and _onehot_mode() == "arith":
         iota_hi_b, iota_lo_b = iotas or (_bf16_iota(hi_n, tt),
                                          _bf16_iota(_LO, tt))
-        build = _sel_onehot if mode == "sel" else _arith_onehot
-        return build(iota_hi_b, hi), build(iota_lo_b, lo)
+        return (_arith_onehot(iota_hi_b, hi),
+                _arith_onehot(iota_lo_b, lo))
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tt), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LO, tt), 0)
     # Mask by MULTIPLICATION, not select (see docstring).
@@ -220,7 +213,8 @@ def _scatter_kernel(cc: int, c: int, f: int, hi_n: int, n_passes: int,
              (in VMEM), not on the XLA side: per update that is F·P
              extra VPU lanes, and it saves materializing + reading a
              (P·CC·F, B) bf16 operand through HBM per class.
-    out_ref: (F, HI, 128) f32.
+    out_ref: (1, HI, F·128) f32 — feature-packed lane blocks
+             (feature fi's lo lanes live at columns [fi·128, fi·128+128)).
     """
     t_step = pl.program_id(1)
 
@@ -231,19 +225,26 @@ def _scatter_kernel(cc: int, c: int, f: int, hi_n: int, n_passes: int,
     tt = idx_ref.shape[2]
     use_arith = hi_n <= 256 and _onehot_mode() != "i32"
     iotas = (_bf16_iota(hi_n, tt), _bf16_iota(_LO, tt)) if use_arith else None
-    accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
+    # FEATURE-PACKED accumulator: all F features ride ONE
+    # (hi_n, T)×(T, F·128) dot per (slot, pass) — identical MACs to F
+    # separate N=128 dots, F× fewer MXU issues (each with its own
+    # pipeline fill against the same hihot operand).
+    acc = jnp.zeros((hi_n, f * _LO), jnp.float32)
     for ci in range(cc):
         idx = idx_ref[0, ci:ci + 1, :]
         hihot, lohot = _onehot_pair(idx, hi_n, tt, iotas)
         w_row = w_ref[0, ci:ci + 1, :]
-        for fi in range(f):
-            v = w_row * dc_ref[0, (ci // c) * f + fi:(ci // c) * f + fi + 1, :]
-            for term in _split_bf16(v, n_passes):
-                w_t = lohot * term
-                accs[fi] = accs[fi] + jax.lax.dot_general(
-                    hihot, w_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-    out_ref[...] += jnp.stack(accs)
+        base = (ci // c) * f
+        terms = [_split_bf16(
+            w_row * dc_ref[0, base + fi:base + fi + 1, :], n_passes)
+            for fi in range(f)]
+        for p in range(n_passes):
+            w_t = jnp.concatenate([lohot * terms[fi][p]
+                                   for fi in range(f)], axis=0)
+            acc = acc + jax.lax.dot_general(
+                hihot, w_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[...] += acc[None]
 
 
 def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
@@ -290,15 +291,15 @@ def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
             pl.BlockSpec((1, cc, t), lambda l, tb: (l, 0, tb)),
             pl.BlockSpec((1, fdc, t), lambda l, tb: (l, 0, tb)),
         ],
-        out_specs=pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
+        out_specs=pl.BlockSpec((1, hi_n, f * _LO), lambda l, tb: (l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((lg, hi_n, f * _LO), jnp.float32),
         interpret=interpret_mode(),
     )(idx_local.astype(jnp.int32).reshape(lg, cc, b),
       w.astype(jnp.float32).reshape(lg, cc, b),
       dcols.astype(jnp.float32).reshape(lg, fdc, b))
-    # (lg·F, HI, 128) -> (lg, r_pad, F): row hi·128+lo of block l,
-    # feature f lives at [l·F+f, hi, lo].
-    return out.reshape(lg, f, hi_n, _LO).transpose(0, 2, 3, 1) \
+    # (lg, HI, F·128) -> (lg, r_pad, F): the kernel's feature-packed
+    # lane blocks put row hi·128+lo, feature fi at [l, hi, fi·128+lo].
+    return out.reshape(lg, hi_n, f, _LO).transpose(0, 1, 3, 2) \
               .reshape(lg, r_pad, f)
 
 
@@ -504,20 +505,30 @@ def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def xor_pair_mode() -> frozenset:
-    """Directions routed to the XOR-paired kernels.
+def xor_pair_mode(n_passes: int = 1) -> frozenset:
+    """Directions routed to the XOR-paired kernels for a class whose
+    value operand needs ``n_passes`` bf16 terms.
 
-    TCNN_TPU_MM_XOR ∈ {"0", "gather", "scatter", "1"/"both"}.
-    Default "gather": measured on chip (flagship config_hash, B=2^18,
-    bf16 policy P=1) the shared-hi trick WINS the forward gather
-    (~1.5 ms — one hi one-hot + half the MXU gather MACs per pair)
-    but LOSES the training scatter (22.9 vs 20.9 ms/step with both
-    directions on: at P=1 the scatter is VPU-bound, and the carry
-    machinery + the dest prologue + the cond fallback's materialized
-    operands outweigh the halved MACs).  See ROOFLINE.md round-4."""
+    TCNN_TPU_MM_XOR ∈ {"auto" (default), "0", "gather", "scatter",
+    "1"/"both"}.  Auto resolves by table dtype, following the on-chip
+    A/B (flagship geometry, B=2^18):
+
+    * P=2 (f32 tables): BOTH directions — xor wins decisively, the
+      halved large-dot MACs dominate: grid fwd+bwd 30.52 ms (xor) vs
+      38.06 (dense), fwd-only 17.79 vs 19.26.
+    * P=1 (bf16 tables, the bf16-policy flagship): NONE — xor LOSES in
+      every combination (step 20.92 ms off vs 22.89 both / 23.29
+      gather-only / 23.08 both+noguard): with the big dots halved in
+      count the carry machinery's SMALL side matmuls (z_c, the (1,K)
+      re-injection, the compact move) are issue-bound on the MXU, and
+      the dest prologue + cond operands add XLA-side passes.
+
+    See ROOFLINE.md round-4 table."""
     import os
 
-    v = os.environ.get("TCNN_TPU_MM_XOR", "gather")
+    v = os.environ.get("TCNN_TPU_MM_XOR", "auto")
+    if v == "auto":
+        v = "both" if n_passes >= 2 else "0"
     if v == "0":
         return frozenset()
     if v in ("1", "both"):
@@ -549,7 +560,7 @@ def _xor_diag() -> tuple:
             bool(os.environ.get("TCNN_TPU_XOR_NOCARRY")))
 
 
-def _carry_compact(dest, iota_k, payload_rows, iota_k_b=None):
+def _carry_compact(dest, iota_k, payload_rows):
     """Compact the masked columns of ``payload_rows`` into the first K
     columns (K = iota_k rows).
 
@@ -557,16 +568,12 @@ def _carry_compact(dest, iota_k, payload_rows, iota_k_b=None):
     non-carry columns, computed in the XLA prologue at full batch
     efficiency — an in-kernel lane cumsum runs on (1, T) rows at 1/8
     sublane occupancy).  payload_rows: list of (1, T) bf16 rows
-    (already masked).  iota_k_b: optional (K, T) bf16 iota — selects
-    the bf16-compare P build ("sel" one-hot route; exact for K ≤ 256).
+    (already masked).
     Returns (len(rows), K) f32 compacted payload — column j holds the
     j-th carry column's payload, zero past the count.  Carries beyond
     K were clamped by xor_dest and their tiles routed to the dense
     kernel by the overflow cond."""
-    if iota_k_b is not None:
-        p_c = _sel_onehot(iota_k_b, dest)        # (K, T)
-    else:
-        p_c = (iota_k == dest).astype(jnp.bfloat16)
+    p_c = (iota_k == dest).astype(jnp.bfloat16)
     y = jnp.concatenate(payload_rows, axis=0)    # (rows, T) bf16
     return jax.lax.dot_general(
         y, p_c, (((1,), (1,)), ((), ())),
@@ -614,10 +621,6 @@ def _scatter_kernel_xor(ccp: int, cp: int, f: int, hi_n: int,
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tt), 0)
     iota_hi_k = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k_cap), 0)
     iota_lo_k = jax.lax.broadcasted_iota(jnp.int32, (_LO, k_cap), 0)
-    use_sel = _onehot_mode() == "sel" and hi_n <= 256
-    iota_hi_b = _bf16_iota(hi_n, tt) if use_sel else None
-    iota_lo_b = _bf16_iota(_LO, tt) if use_sel else None
-    iota_k_b = _bf16_iota(k_cap, tt) if use_sel else None
     accs = [jnp.zeros((hi_n, _LO), jnp.float32) for _ in range(f)]
     for ci in range(ccp):
         idx_e = idx_e_ref[0, ci:ci + 1, :]
@@ -630,47 +633,32 @@ def _scatter_kernel_xor(ccp: int, cp: int, f: int, hi_n: int,
         mb = m_i.astype(jnp.bfloat16)
         w_e_row = w_e_ref[0, ci:ci + 1, :]
         w_o_row = w_o_ref[0, ci:ci + 1, :]
-        if use_sel:
-            # bf16-born compares: (16,128)-tiled i1 masks drive bf16
-            # SELECTS with no relayout and no 0/1-multiply pass.
-            hihot = _sel_onehot(iota_hi_b, hi_e)
-            m_e = iota_lo_b == (idx_e % _LO).astype(jnp.bfloat16)
-            m_o = ((iota_lo_b == lo_o.astype(jnp.bfloat16))
-                   & (hi_e.astype(jnp.bfloat16)
-                      == hi_o.astype(jnp.bfloat16)))
-            lo_e_hot = lo_o_hot = None
-        else:
-            hihot = (iota_hi == hi_e).astype(jnp.bfloat16)
-            lo_e_hot = (iota_lo == (idx_e % _LO)).astype(jnp.bfloat16)
-            lo_o_hot = ((iota_lo == lo_o).astype(jnp.bfloat16)
-                        * (1.0 - mb))
-            m_e = m_o = None
-        # i32 route masks by 0/1 MULTIPLY (Mosaic cannot relayout an
-        # i32-born i1 mask to bf16 select tiling).  Caveat: a
-        # non-finite value in a masked-out lane becomes 0·Inf = NaN and
-        # contaminates the plane, where a select would zero it; only
-        # reachable when the incoming cotangent is already non-finite
-        # (diverged training).  The sel route selects (clean zeros).
+        hihot = (iota_hi == hi_e).astype(jnp.bfloat16)
+        lo_e_hot = (iota_lo == (idx_e % _LO)).astype(jnp.bfloat16)
+        lo_o_hot = ((iota_lo == lo_o).astype(jnp.bfloat16)
+                    * (1.0 - mb))
+        # Masking is by 0/1 MULTIPLY (Mosaic cannot relayout an
+        # i32-born i1 mask to bf16 select tiling, and bf16-born
+        # compares are rejected by the v5e target outright).  Caveat:
+        # a non-finite value in a masked-out lane becomes 0·Inf = NaN
+        # and contaminates the plane, where a select would zero it;
+        # only reachable when the incoming cotangent is already
+        # non-finite (diverged training).
         payload = [(hi_o * m_i).astype(jnp.bfloat16),
                    (lo_o * m_i).astype(jnp.bfloat16)]
-        zero_b = jnp.zeros((), jnp.bfloat16)
         for fi in range(f):
             dc_row = dc_ref[0, (ci // cp) * f + fi:(ci // cp) * f + fi + 1, :]
             terms_e = _split_bf16(w_e_row * dc_row, n_passes)
             terms_o = _split_bf16(w_o_row * dc_row, n_passes)
             for p in range(n_passes):
-                if use_sel:
-                    w_t = (jnp.where(m_e, terms_e[p], zero_b)
-                           + jnp.where(m_o, terms_o[p], zero_b))
-                else:
-                    w_t = lo_e_hot * terms_e[p] + lo_o_hot * terms_o[p]
+                w_t = lo_e_hot * terms_e[p] + lo_o_hot * terms_o[p]
                 accs[fi] = accs[fi] + jax.lax.dot_general(
                     hihot, w_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 payload.append(terms_o[p] * mb)
         if _xor_diag()[1]:          # NOCARRY diagnosis mode
             continue
-        yc, _ = _carry_compact(dest, iota_k, payload, iota_k_b)
+        yc, _ = _carry_compact(dest, iota_k, payload)
         hihot_c = (iota_hi_k == yc[0:1].astype(jnp.int32)) \
             .astype(jnp.bfloat16)
         lohot_c = (iota_lo_k == yc[1:2].astype(jnp.int32)) \
@@ -757,9 +745,6 @@ def _gather_kernel_xor(ccp: int, f: int, cp: int, hi_n: int,
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tt), 0)
     iota_hi_k = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k_cap), 0)
     iota_lo_k = jax.lax.broadcasted_iota(jnp.int32, (_LO, k_cap), 0)
-    use_sel = _onehot_mode() == "sel" and hi_n <= 256
-    iota_hi_b = _bf16_iota(hi_n, tt) if use_sel else None
-    iota_k_b = _bf16_iota(k_cap, tt) if use_sel else None
     n_lvl = ccp // cp
 
     rows = []
@@ -774,11 +759,7 @@ def _gather_kernel_xor(ccp: int, f: int, cp: int, hi_n: int,
             lo_o = idx_o % _LO
             m_i = (dest >= 0).astype(jnp.int32)
             shared = dest < 0
-            # The lo SELECTS over the f32 z plane need i32-born
-            # (8,128)-tiled masks; only the bf16 MXU operand (hihot)
-            # takes the sel route.
-            hihot = (_sel_onehot(iota_hi_b, idx_e // _LO) if use_sel
-                     else (iota_hi == idx_e // _LO).astype(jnp.bfloat16))
+            hihot = (iota_hi == idx_e // _LO).astype(jnp.bfloat16)
             lo_e_hot = iota_lo == (idx_e % _LO)
             lo_o_hot = (iota_lo == lo_o) & shared
             nocarry = _xor_diag()[1]
@@ -786,7 +767,7 @@ def _gather_kernel_xor(ccp: int, f: int, cp: int, hi_n: int,
                 yc, p_c = _carry_compact(
                     dest, iota_k,
                     [(hi_o * m_i).astype(jnp.bfloat16),
-                     (lo_o * m_i).astype(jnp.bfloat16)], iota_k_b)
+                     (lo_o * m_i).astype(jnp.bfloat16)])
                 hihot_c = (iota_hi_k == yc[0:1].astype(jnp.int32)) \
                     .astype(jnp.bfloat16)
                 lohot_c = iota_lo_k == yc[1:2].astype(jnp.int32)
@@ -902,16 +883,20 @@ def _gather_kernel(cc: int, f: int, c: int, hi_n: int, n_passes: int,
             lohot = jax.lax.broadcasted_iota(
                 jnp.int32, (_LO, tt), 0) == (idx % _LO)
             w_c = w_ref[0, ci:ci + 1, :]
+            # FEATURE-PACKED dot: for a fixed pass p the F features'
+            # 128-row table strips are contiguous in the pack layout,
+            # so all F ride ONE (F·128, HI)×(HI, T) contraction —
+            # identical MACs, F× fewer MXU issues per corner.
+            z = jnp.zeros((f * _LO, tt), jnp.float32)
+            for p in range(n_passes):
+                r = p * f * _LO
+                z = z + jax.lax.dot_general(
+                    tab_ref[0, r:r + f * _LO, :], hihot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             for fi in range(f):
-                z = jnp.zeros((_LO, tt), jnp.float32)
-                for p in range(n_passes):
-                    r = (p * f + fi) * _LO
-                    z = z + jax.lax.dot_general(
-                        tab_ref[0, r:r + _LO, :], hihot,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                y = jnp.sum(jnp.where(lohot, z, 0.0), axis=0,
-                            keepdims=True)
+                y = jnp.sum(jnp.where(lohot, z[fi * _LO:(fi + 1) * _LO],
+                                      0.0), axis=0, keepdims=True)
                 accs[fi] = accs[fi] + w_c * y
         rows.extend(accs)
     out_ref[...] = jnp.concatenate(rows, axis=0)[None]

@@ -573,11 +573,12 @@ class TestBinnedScatter:
 
 
 class TestXorPaired:
-    """XOR-paired kernels (default-on): one hi-block one-hot serves
-    both dim-0 corners; rare non-shared odd corners ride an in-kernel
-    compacted carry pass; capacity overflow falls back to the dense
-    kernel via lax.cond.  Ground truth: the unpaired kernels and the
-    jnp path."""
+    """XOR-paired kernels (opt-in via TCNN_TPU_MM_XOR — measured
+    slower than the dense kernels on chip at P=1): one hi-block
+    one-hot serves both dim-0 corners; rare non-shared odd corners
+    ride an in-kernel compacted carry pass; capacity overflow falls
+    back to the dense kernel via lax.cond.  Ground truth: the unpaired
+    kernels and the jnp path."""
 
     def _pairs(self, rng, sizes, b=512, structured=True):
         """CoherentPrime-structured (idx_e, idx_o) per level: pow2 mod
@@ -707,7 +708,8 @@ class TestXorPaired:
         np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
                                    rtol=1e-3, atol=1e-4)
 
-    def test_class_plan_separates_xor_levels(self):
+    def test_class_plan_separates_xor_levels(self, monkeypatch):
+        monkeypatch.setenv("TCNN_TPU_MM_XOR", "both")
         meta = ((True, 512, 0, True), (False, 512, 512, False),
                 (True, 512, 1024, True))
         plans = list(grid_ops._mm_class_plan(meta, [0, 1, 2], "gather"))
@@ -732,11 +734,12 @@ class TestXorPaired:
                                          jnp.bfloat16, 1 << 12)
         assert mm_x == [0] and mm_p == []
 
-    @pytest.mark.parametrize("mode", ["i32", "sel", "arith"])
+    @pytest.mark.parametrize("mode", ["i32", "arith"])
     def test_onehot_modes_parity(self, monkeypatch, mode):
-        """Every one-hot build route (i32 compare+cast, bf16-select,
-        bf16-arith) must produce identical numbers through both the
-        xor and dense kernels."""
+        """Every one-hot build route (i32 compare+cast, bf16-arith)
+        must produce identical numbers through both the xor and dense
+        kernels.  (A bf16-select route existed briefly; Mosaic on real
+        v5e rejects bf16 compares, so it was removed.)"""
         monkeypatch.setenv("TCNN_TPU_ONEHOT", mode)
         rng = np.random.RandomState(9)
         sizes = (512,)
