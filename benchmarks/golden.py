@@ -91,6 +91,17 @@ def main():
     except Exception:
         commit = None
 
+    # Route report (round-3 verdict weak #7: record the policy and the
+    # dispatch route with the numbers, so a surprising wall-time is
+    # attributable to the code path that produced it).
+    from tcnn_tpu.ops import grid_ops
+    spec = model.network.encoding.spec
+    lv_meta = tuple(((not lv.use_hash), lv.size, lv.offset)
+                    for lv in spec.levels)
+    mm, serial = grid_ops._route_levels(
+        (spec.n_features_per_level, 2 ** spec.n_dims, lv_meta),
+        jax.numpy.bfloat16, batch)
+
     out = {
         "image": img_name,
         "config": "config_hash.json (HashGrid L16 F2 log2=15 + "
@@ -98,6 +109,10 @@ def main():
         "batch_size": batch,
         "psnr_db": trajectory,
         "train_wall_seconds": round(wall, 1),
+        "wall_includes": "1000 training steps + 3 full-image PSNR "
+                         "evals (chunked tunnel dispatches)",
+        "policy": "bf16 compute / f32 params (BF16_POLICY)",
+        "route": {"mm_levels": mm, "serial_levels": serial},
         "device": str(jax.devices()[0]),
         "producing_commit": commit,
     }

@@ -32,25 +32,42 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
     tr = model.trainer
     state = tr.initial_state()
     t = jax.random.uniform(jax.random.key(1), (B, 3))
-    xs = [jax.random.uniform(jax.random.key(100 + i), (B, 2))
-          for i in range(n_steps)]
+    # ONE scanned dispatch of n_steps-1 steps, matching
+    # microbench_r3.slope's protocol exactly: per-dispatch traces on
+    # the tunnel showed ~3x the scan-steady-state step time
+    # (dispatch-serialized execution pads every kernel), which made
+    # the committed per-kernel numbers incomparable with the headline.
     if mode == "train":
-        step = jax.jit(lambda s, x, t: tr._training_step(s, x, t, None))
-        state, _ = step(state, xs[0], t)  # compile + warm
-        jax.block_until_ready(state.params)
+        def loop(s, key):
+            def body(carry, i):
+                x = jax.random.uniform(jax.random.fold_in(key, i), (B, 2))
+                carry, loss = tr._training_step(carry, x, t, None)
+                return carry, loss
+
+            return jax.lax.scan(body, s, jnp.arange(n_steps - 1))
+
+        loop = jax.jit(loop)
+        state2, _ = loop(state, jax.random.key(7))  # compile + warm
+        jax.block_until_ready(state2.params)
         with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
-            for x in xs[1:]:
-                state, loss = step(state, x, t)
-            jax.block_until_ready(loss)
+            _, losses = loop(state, jax.random.key(8))
+            jax.block_until_ready(losses)
     else:
         params = tr.inference_params(state)
-        fwd = jax.jit(lambda p, x: model.inference(p, x))
-        y = fwd(params, xs[0])
-        jax.block_until_ready(y)
+
+        def iloop(p, key):
+            def body(carry, i):
+                x = jax.random.uniform(jax.random.fold_in(key, i), (B, 2))
+                y = model.inference(p, x + carry * 1e-30)
+                return y[0, 0].astype(jnp.float32), None
+
+            return jax.lax.scan(body, jnp.float32(0),
+                                jnp.arange(n_steps - 1))
+
+        iloop = jax.jit(iloop)
+        jax.block_until_ready(iloop(params, jax.random.key(7)))
         with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
-            for x in xs[1:]:
-                y = fwd(params, x)
-            jax.block_until_ready(y)
+            jax.block_until_ready(iloop(params, jax.random.key(8)))
     return n_steps - 1
 
 
