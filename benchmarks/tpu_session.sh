@@ -30,6 +30,9 @@ timeout 3600 python -u benchmarks/golden.py || true
 #    the first time (VERDICT #5).
 timeout 3600 python -u benchmarks/bench_btf.py 200 16
 
+# 4b. Serving-bundle bucket-ladder latency (round-4 VERDICT #4).
+timeout 2400 python -u benchmarks/bench_serving.py || true
+
 # 5. Naive-JAX baseline re-measure (README ratio provenance).
 timeout 3600 python -u benchmarks/bench_baseline.py || true
 
@@ -59,6 +62,7 @@ mkdir -p benchmarks/logs
 cp "$LOG" "benchmarks/logs/tpu_session_$(date +%Y%m%dT%H%M%S).log" || true
 git add bench_result_ours.json benchmarks/last_onchip_bench.json \
         benchmarks/baseline_result.json benchmarks/golden_image_fit.json \
-        benchmarks/btf_onchip.json benchmarks/logs 2>/dev/null || true
+        benchmarks/btf_onchip.json benchmarks/serving_onchip.json \
+        benchmarks/logs 2>/dev/null || true
 git diff --cached --quiet || git commit -m \
   "On-chip measurement artifacts (auto-committed by tpu_session.sh)" || true
