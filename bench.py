@@ -311,7 +311,7 @@ def main():
                         best = (trip[1], spread)
         return best
 
-    chain_lengths = (140, 260, 500, 900, 900, 500, 900)
+    chain_lengths = (140, 260, 500, 900, 900, 500, 900, 900, 900)
     if os.environ.get("TCNN_BENCH_SKIP_TFLOPS"):
         chain_lengths = ()  # CPU smoke runs: the 4096^3 chains take hours
     for k_hi in chain_lengths:
@@ -336,6 +336,23 @@ def main():
             print(f"warning: TFLOPS probe not credible (slope "
                   f"{t_hi - t_lo:.3f}s, {cand:.0f} TF over {k_hi - 20} "
                   "matmuls); retrying", file=sys.stderr, flush=True)
+    if tflops is None and len(candidates) >= 2:
+        # Fallback: the tunnel's early-ack failure mode discards most
+        # readings wholesale on bad days; rather than report null when
+        # two independent long chains agree TIGHTLY, accept their mean
+        # and record the weaker criterion explicitly.
+        vals = sorted(c[2] for c in candidates)
+        for i in range(len(vals) - 1):
+            spread = (vals[i + 1] - vals[i]) / ((vals[i + 1] + vals[i]) / 2)
+            if spread <= 0.04:
+                tflops = (vals[i] + vals[i + 1]) / 2
+                probe_detail = {
+                    "accepted": candidates,
+                    "criterion": "FALLBACK pair within symmetric 4% "
+                                 "(no agreeing triple this session)",
+                    "spread_of_accepted_pair": round(spread, 4),
+                }
+                break
     if tflops is None and candidates:
         print(f"warning: TFLOPS probe readings never converged to an "
               f"agreeing triple ({candidates}); reporting null",
