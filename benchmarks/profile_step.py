@@ -58,7 +58,7 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
         def iloop(p, key):
             def body(carry, i):
                 x = jax.random.uniform(jax.random.fold_in(key, i), (B, 2))
-                y = model.inference(p, x + carry * 1e-30)
+                y = model.network.inference(p, x + carry * 1e-30)
                 return y[0, 0].astype(jnp.float32), None
 
             return jax.lax.scan(body, jnp.float32(0),
