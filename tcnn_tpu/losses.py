@@ -59,7 +59,8 @@ class Loss:
         return self.elementwise(prediction, target, pdf) / n_total
 
     def __call__(self, prediction, target, pdf: Optional[jax.Array] = None):
-        return jnp.sum(self.values(prediction, target, pdf))
+        with jax.named_scope("tcnn_loss"):
+            return jnp.sum(self.values(prediction, target, pdf))
 
     def hyperparams(self) -> Dict[str, Any]:
         return {"otype": type(self).__name__.replace("Loss", "")}

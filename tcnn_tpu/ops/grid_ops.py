@@ -856,14 +856,17 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
             lv_meta, mm, "gather", _value_passes(flat.dtype)):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
-        cols_g = gm.mm_gather(
-            flat, idx_local, w_g,
-            tuple(lv_meta[i][1] for i in levels),
-            tuple(lv_meta[i][2] for i in levels), f, c, r_pad, mg, pr)
+        tag = "x" if pr == "xor" else ("p" if pr else "")
+        with jax.named_scope(f"tcnn_gather_mm{tag}_r{r_pad}"):
+            cols_g = gm.mm_gather(
+                flat, idx_local, w_g,
+                tuple(lv_meta[i][1] for i in levels),
+                tuple(lv_meta[i][2] for i in levels), f, c, r_pad, mg, pr)
         for gi, i in enumerate(levels):
             pieces[i] = cols_g[gi * f:(gi + 1) * f]
     if serial:
-        cols_s = _take_fwd_group(flat, idx, ws, fc, serial)
+        with jax.named_scope("tcnn_gather_serial"):
+            cols_s = _take_fwd_group(flat, idx, ws, fc, serial)
         for gi, i in enumerate(serial):
             pieces[i] = cols_s[gi * f:(gi + 1) * f]
     return jnp.concatenate([pieces[i] for i in range(len(lv_meta))], axis=0)
@@ -960,42 +963,46 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         dc_g = _sel_rows(dc3, levels).reshape(-1, b)
-        part = gm.mm_scatter(
-            idx_local, w_g, dc_g,
-            tuple(lv_meta[i][1] for i in levels),
-            tuple(lv_meta[i][2] for i in levels), f, c, r_pad,
-            n_flat, str(flat.dtype), mg, pr)
+        tag = "x" if pr == "xor" else ("p" if pr else "")
+        with jax.named_scope(f"tcnn_scatter_mm{tag}_r{r_pad}"):
+            part = gm.mm_scatter(
+                idx_local, w_g, dc_g,
+                tuple(lv_meta[i][1] for i in levels),
+                tuple(lv_meta[i][2] for i in levels), f, c, r_pad,
+                n_flat, str(flat.dtype), mg, pr)
         dflat = part if dflat is None else dflat + part
     if unpaired:
-        part = scatter_add_weighted(
-            _sel_rows(idx3, unpaired).reshape(-1),
-            _sel_rows(ws3, unpaired).reshape(-1),
-            _sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
+        with jax.named_scope("tcnn_scatter_serial"):
+            part = scatter_add_weighted(
+                _sel_rows(idx3, unpaired).reshape(-1),
+                _sel_rows(ws3, unpaired).reshape(-1),
+                _sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
         dflat = part if dflat is None else dflat + part
     if paired:
-        idx_p = _sel_rows(idx3, paired)
-        ws_p = _sel_rows(ws3, paired)
-        idx_e = idx_p[:, 0::2, :]            # even dim-0 corners
-        w_e = ws_p[:, 0::2, :]
-        w_o = ws_p[:, 1::2, :]
-        dc_p = _sel_rows(dc3, paired)
-        # Wrap-around pairs: even corner on the level's LAST entry →
-        # the odd corner wraps to the level's FIRST entry.  Zero the
-        # in-kernel odd weight and add the wrapped mass via a dense
-        # per-level reduction (exact; the kernel stays branch-free).
-        last = jnp.asarray(np.array(
-            [[[lv_meta[i][2] + lv_meta[i][1] - 1]] for i in paired],
-            np.int32))                        # (Lp, 1, 1)
-        wrap = idx_e == last
-        w_o_in = jnp.where(wrap, 0.0, w_o)
-        part = scatter_add_weighted_pairs(
-            idx_e.reshape(-1), w_e.reshape(-1), w_o_in.reshape(-1),
-            dc_p.reshape(-1, b), n_rows, f, c // 2)
-        corr = gm.level_wrap_correction(w_o, wrap, dc_p, f)  # (Lp, F)
-        tgt = jnp.asarray(np.array(
-            [lv_meta[i][2] * f + k for i in paired
-             for k in range(f)], np.int32))
-        part = part.at[tgt].add(corr.reshape(-1))
+        with jax.named_scope("tcnn_scatter_pairs"):
+            idx_p = _sel_rows(idx3, paired)
+            ws_p = _sel_rows(ws3, paired)
+            idx_e = idx_p[:, 0::2, :]            # even dim-0 corners
+            w_e = ws_p[:, 0::2, :]
+            w_o = ws_p[:, 1::2, :]
+            dc_p = _sel_rows(dc3, paired)
+            # Wrap-around pairs: even corner on the level's LAST entry →
+            # the odd corner wraps to the level's FIRST entry.  Zero the
+            # in-kernel odd weight and add the wrapped mass via a dense
+            # per-level reduction (exact; the kernel stays branch-free).
+            last = jnp.asarray(np.array(
+                [[[lv_meta[i][2] + lv_meta[i][1] - 1]] for i in paired],
+                np.int32))                        # (Lp, 1, 1)
+            wrap = idx_e == last
+            w_o_in = jnp.where(wrap, 0.0, w_o)
+            part = scatter_add_weighted_pairs(
+                idx_e.reshape(-1), w_e.reshape(-1), w_o_in.reshape(-1),
+                dc_p.reshape(-1, b), n_rows, f, c // 2)
+            corr = gm.level_wrap_correction(w_o, wrap, dc_p, f)  # (Lp, F)
+            tgt = jnp.asarray(np.array(
+                [lv_meta[i][2] * f + k for i in paired
+                 for k in range(f)], np.int32))
+            part = part.at[tgt].add(corr.reshape(-1))
         dflat = part if dflat is None else dflat + part
     if dflat is None:
         dflat = jnp.zeros((n_flat,), jnp.float32)
@@ -1017,10 +1024,11 @@ def _finish_interp_bwd(dflat, flat, idx3, dc3, fc):
     # gradients; XLA dead-code-eliminates the takes when dx is unused).
     from .pallas import grid_matmul as gm
 
-    table2d = flat.reshape(n_rows, f).astype(jnp.float32)
-    fr = jnp.stack([jnp.take(table2d, idx3[l], axis=0)
-                    for l in range(n_lvl)], axis=0)   # (L, C, B, F)
-    dws = gm.feats_dot_ct(fr, dc3, f)
+    with jax.named_scope("tcnn_dws"):
+        table2d = flat.reshape(n_rows, f).astype(jnp.float32)
+        fr = jnp.stack([jnp.take(table2d, idx3[l], axis=0)
+                        for l in range(n_lvl)], axis=0)   # (L, C, B, F)
+        dws = gm.feats_dot_ct(fr, dc3, f)
     # ws_bwd gets a zero cotangent: in the stochastic case it is an
     # indicator (zero derivative a.e.); otherwise it aliases ws whose
     # cotangent is dws.
@@ -1118,7 +1126,10 @@ def grid_encode(
                 max_level_per_element = jax.lax.all_gather(
                     max_level_per_element.reshape(-1), shard_ctx[0],
                     axis=0, tiled=True)
-        idx, ws, ws_bwd = _build_indices_weights(spec, x_in, live)
+        # named_scope: propagates into XLA op_metadata so profiler
+        # traces attribute this stage by name (profile_step.py).
+        with jax.named_scope("tcnn_idx_build"):
+            idx, ws, ws_bwd = _build_indices_weights(spec, x_in, live)
         if max_level_per_element is not None:
             # Per-sample coarse-to-fine masking (grid.h:69-92): level l
             # is live for sample b iff l < frac[b]·n_levels + 1e-3.

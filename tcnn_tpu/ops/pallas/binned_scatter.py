@@ -173,6 +173,7 @@ def scatter_levels_binned2(idx_local: jax.Array, w: jax.Array,
             out_shape=jax.ShapeDtypeStruct((n_lvl * f, hi_n, _LO),
                                            jnp.float32),
             interpret=interpret_mode(),
+            name="binned_scatter",
         )(idx_local.astype(jnp.int32).reshape(n_lvl, c, b),
           w.astype(jnp.float32).reshape(n_lvl, c, b),
           dcols.astype(jnp.float32).reshape(n_lvl, f, b))

@@ -254,19 +254,21 @@ def _fused_mlp_fwd_impl(weights, x, act, out_act, compute_dtype,
     out_spec = (_x_spec(d_out, True) if soa_out
                 else _batch_tiled((d_out,)))
     out_shape = ((d_out, pb) if soa_out else (pb, d_out))
-    y = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            _x_spec(d_in, soa_in),
-            _replicated((d_in, width)),
-            _replicated((max(n_stack, 1), width, width)),
-            _replicated((width, d_out)),
-        ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        interpret=interpret_mode(),
-    )(xp, w_in_c, w_hid_c, w_out_c)
+    with jax.named_scope("tcnn_mlp_fwd"):
+        y = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _x_spec(d_in, soa_in),
+                _replicated((d_in, width)),
+                _replicated((max(n_stack, 1), width, width)),
+                _replicated((width, d_out)),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            interpret=interpret_mode(),
+            name="fused_mlp_fwd",
+        )(xp, w_in_c, w_hid_c, w_out_c)
     y = y[:, :b] if soa_out else y[:b]
     return y.astype(output_dtype)
 
@@ -383,30 +385,33 @@ def _fused_mlp_bwd_kernel_call(weights, x_orig, g, act, out_act,
     dx_shape = (d_in, pb) if soa_in else (pb, d_in)
     kernel = functools.partial(_bwd_kernel, act, out_act, n_hidden, soa_in,
                                soa_out)
-    dx, dw_in, dw_hid, dw_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            _x_spec(d_in, soa_in),
-            _replicated((d_in, width)),
-            _replicated((max(n_stack, 1), width, width)),
-            _replicated((width, d_out)),
-            _x_spec(d_out, True) if soa_out else _batch_tiled((d_out,)),
-        ],
-        out_specs=[
-            _x_spec(d_in, soa_in),
-            _replicated((d_in, width)),
-            _replicated((max(n_stack, 1), width, width)),
-            _replicated((width, d_out)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(dx_shape, jnp.float32),
-            jax.ShapeDtypeStruct((d_in, width), jnp.float32),
-            jax.ShapeDtypeStruct((max(n_stack, 1), width, width), jnp.float32),
-            jax.ShapeDtypeStruct((width, d_out), jnp.float32),
-        ],
-        interpret=interpret_mode(),
-    )(xp, w_in_c, w_hid_c, w_out_c, gp)
+    with jax.named_scope("tcnn_mlp_bwd"):
+        dx, dw_in, dw_hid, dw_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _x_spec(d_in, soa_in),
+                _replicated((d_in, width)),
+                _replicated((max(n_stack, 1), width, width)),
+                _replicated((width, d_out)),
+                _x_spec(d_out, True) if soa_out else _batch_tiled((d_out,)),
+            ],
+            out_specs=[
+                _x_spec(d_in, soa_in),
+                _replicated((d_in, width)),
+                _replicated((max(n_stack, 1), width, width)),
+                _replicated((width, d_out)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(dx_shape, jnp.float32),
+                jax.ShapeDtypeStruct((d_in, width), jnp.float32),
+                jax.ShapeDtypeStruct((max(n_stack, 1), width, width),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((width, d_out), jnp.float32),
+            ],
+            interpret=interpret_mode(),
+            name="fused_mlp_bwd",
+        )(xp, w_in_c, w_hid_c, w_out_c, gp)
 
     dweights = ([dw_in.astype(w_in.dtype)]
                 + [dw_hid[k].astype(w.dtype) for k, w in enumerate(w_mid)]

@@ -294,6 +294,7 @@ def scatter_levels_matmul(idx_local: jax.Array, w: jax.Array,
         out_specs=pl.BlockSpec((1, hi_n, f * _LO), lambda l, tb: (l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((lg, hi_n, f * _LO), jnp.float32),
         interpret=interpret_mode(),
+        name="mm_scatter",
     )(idx_local.astype(jnp.int32).reshape(lg, cc, b),
       w.astype(jnp.float32).reshape(lg, cc, b),
       dcols.astype(jnp.float32).reshape(lg, fdc, b))
@@ -459,6 +460,7 @@ def scatter_levels_matmul_paired(idx_e: jax.Array, w_e: jax.Array,
             jax.ShapeDtypeStruct((lg, hi_n, _LO), jnp.float32),
         ],
         interpret=interpret_mode(),
+        name="mm_scatter_paired",
     )(idx_e.astype(jnp.int32).reshape(lg, ccp, b),
       w_e.astype(jnp.float32).reshape(lg, ccp, b),
       w_o.astype(jnp.float32).reshape(lg, ccp, b),
@@ -718,6 +720,7 @@ def scatter_levels_matmul_xor(idx_e: jax.Array, idx_o: jax.Array,
         out_specs=pl.BlockSpec((f, hi_n, _LO), lambda l, tb: (l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((lg * f, hi_n, _LO), jnp.float32),
         interpret=interpret_mode(),
+        name="mm_scatter_xor",
     )(idx_e.astype(jnp.int32).reshape(lg, ccp, b),
       idx_o.astype(jnp.int32).reshape(lg, ccp, b),
       dest.astype(jnp.int32).reshape(lg, ccp, b),
@@ -842,6 +845,7 @@ def _gather_levels_matmul_xor_impl(tabT: jax.Array, idx_e: jax.Array,
         out_shape=jax.ShapeDtypeStruct((lg, (ccp // cp) * f, b),
                                        jnp.float32),
         interpret=interpret_mode(),
+        name="mm_gather_xor",
     )(tabT, idx_e.astype(jnp.int32).reshape(lg, ccp, b),
       idx_o.astype(jnp.int32).reshape(lg, ccp, b),
       dest.astype(jnp.int32).reshape(lg, ccp, b),
@@ -1040,6 +1044,7 @@ def _gather_levels_matmul_impl(tabT: jax.Array, idx_kernel: jax.Array,
         out_shape=jax.ShapeDtypeStruct((lg, (cc // c) * f, b),
                                        jnp.float32),
         interpret=interpret_mode(),
+        name="mm_gather",
     )(tabT, idx_kernel.astype(jnp.int32).reshape(lg, cc, b),
       w.astype(jnp.float32).reshape(lg, cc, b))
     return out.reshape(n_lvl * f, b)
@@ -1083,6 +1088,7 @@ def _gather_levels_matmul_paired_impl(tabT: jax.Array, idx_e: jax.Array,
         out_shape=jax.ShapeDtypeStruct((lg, (ccp // cp) * f, b),
                                        jnp.float32),
         interpret=interpret_mode(),
+        name="mm_gather_paired",
     )(tabT, tab0s, idx_e.astype(jnp.int32).reshape(lg, ccp, b),
       w2.astype(jnp.float32).reshape(lg, 2 * ccp, b))
     return out.reshape(n_lvl * f, b)

@@ -159,6 +159,7 @@ def _scatter_add_packed(idx: jax.Array, g: jax.Array, n_rows: int,
                         for _ in range(n_acc)],
         compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
+        name="serial_scatter_packed",
     )(idx.astype(jnp.int32), g.astype(jnp.float32).reshape(-1))
     return packed.reshape(-1)[: n_rows * f]  # FLAT (n_rows·f,)
 
@@ -242,6 +243,7 @@ def _scatter_add_cols_impl(idx, gs, n_rows):
                         for _ in range(n_acc)],
         compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
+        name="serial_scatter_cols",
     )(idx.astype(jnp.int32), *[g.astype(jnp.float32) for g in gs])
     return packed.reshape(-1)[: n_rows * f]
 
@@ -492,6 +494,7 @@ def _scatter_weighted_impl(idx, w, dcols, n_rows, f, c):
                         for _ in range(n_acc)],
         compiler_params=_compiler_params(rows, n_acc),
         interpret=interpret_mode(),
+        name="serial_scatter_weighted",
     )(idx.astype(jnp.int32), w.astype(jnp.float32),
       *([flat_d] * f))
     return packed.reshape(-1)[: n_rows * f]
@@ -677,6 +680,7 @@ def _scatter_pairs_impl(idx_e, w_e, w_o, dcols, n_rows, f, cp):
                         for _ in range(n_acc)],
         compiler_params=_compiler_params(rows2, n_acc),
         interpret=interpret_mode(),
+        name="serial_scatter_pairs",
     )(slot.astype(jnp.int32), w_e.astype(jnp.float32),
       w_o.astype(jnp.float32), *([flat_d] * f))
     # Merge the double-view regions back to the flat table: region A is

@@ -70,6 +70,10 @@ class Adam(Optimizer):
         }
 
     def step(self, state, grads, params, lr_scale=1.0):
+        with jax.named_scope("tcnn_adam"):
+            return self._step(state, grads, params, lr_scale)
+
+    def _step(self, state, grads, params, lr_scale=1.0):
         t = state["step"] + 1
 
         if self.adabound:
