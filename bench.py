@@ -113,15 +113,34 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: the tunnel's remote compiles take
-    # 1-5 min for the scanned training loop; repeat bench runs load
-    # the serialized executable instead.
+    # Persistent compile cache (honors TCNN_TPU_CACHE_DIR so cold-cache
+    # probes can point it at a fresh dir).  Round-5 note: the scanned
+    # training loop's XLA compile is ~10 s fresh-cache (the round-4
+    # "minutes per compile" lore was two OTHER costs, both measured and
+    # fixed/attributed this round: a JAX host-side lowering pathology
+    # with multi-MB arrays closure-captured inside scan bodies — 229 s
+    # for a 3 MB constant, see benchmarks/logs/compile_audit_r5* — and
+    # the tunnel's device-claim stall, measured below).
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/tcnn_tpu_jax"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("TCNN_TPU_CACHE_DIR",
+                           os.path.expanduser("~/.cache/tcnn_tpu_jax")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+    # Device-claim absorption: the axon tunnel's FIRST executed program
+    # after idle pays a claim/contention stall measured at 67-232 s even
+    # for `jit(lambda: 0)()` in a 3-line fresh process (same probe: 0.9 s
+    # when re-run immediately after).  That cost is tunnel
+    # infrastructure, not framework startup; pay it HERE on a trivial
+    # program and report it separately so the training-loop timings
+    # below measure the framework.
+    t0 = time.perf_counter()
+    _claim = jax.jit(lambda: jnp.zeros(()))()
+    float(jax.device_get(_claim))  # true sync (block_until_ready lies)
+    device_claim_s = time.perf_counter() - t0
 
     import tcnn_tpu as tcnn
     from tcnn_tpu.utils.image import ImageSampler, bench_image
@@ -160,15 +179,24 @@ def main():
         import numpy as _np
         return float(_np.asarray(jax.device_get(x)).ravel()[0])
 
-    # Warmup: compile + one chunk of steady-state.
+    # Startup phases, timed separately (round-5 VERDICT #1): trace+
+    # lower (host python), XLA compile (persistent-cache-eligible), and
+    # the first executed chunk (device warmup + arg/pool upload drain).
+    # `loop` is `jitted(state, key, sample_data)` via a lambda; time the
+    # underlying jit explicitly.
     print("bench: compiling training loop...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
     key = jax.random.key(0)
+    t0 = time.perf_counter()
     state, losses = loop(state, jax.random.fold_in(key, 0))
+    dispatch_done = time.perf_counter()
     fetch(losses)
+    first_chunk_sync_s = time.perf_counter() - dispatch_done
+    lower_compile_s = dispatch_done - t0
     compile_warmup_s = time.perf_counter() - t0
-    print(f"bench: compile+warmup {compile_warmup_s:.1f}s",
-          file=sys.stderr, flush=True)
+    print(f"bench: compile+warmup {compile_warmup_s:.1f}s "
+          f"(lower+compile {lower_compile_s:.1f}s, first-chunk sync "
+          f"{first_chunk_sync_s:.1f}s; device claim was "
+          f"{device_claim_s:.1f}s)", file=sys.stderr, flush=True)
 
     # Probe for a sick tunnel worker (rare: a crashed predecessor can
     # leave the device ~100× slow until the service recycles it).
@@ -379,6 +407,17 @@ def main():
         "n_steps": n_chunks * chunk,
         "train_seconds": round(train_time, 3),
         "compile_warmup_seconds": round(compile_warmup_s, 1),
+        "startup_breakdown": {
+            "device_claim_seconds": round(device_claim_s, 1),
+            "lower_compile_seconds": round(lower_compile_s, 1),
+            "first_chunk_sync_seconds": round(first_chunk_sync_s, 1),
+            "note": "compile_warmup_seconds = lower_compile + first-"
+                    "chunk sync.  device_claim is the tunnel's idle-"
+                    "reclaim stall, paid up front on jit(lambda: 0)() "
+                    "before any framework code compiles (67-232 s "
+                    "measured for a 3-line JAX program after idle, "
+                    "~1 s when the device is warm).",
+        },
         "device": str(jax.devices()[0]),
     }
     if jax.devices()[0].platform != "cpu":

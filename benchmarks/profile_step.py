@@ -59,7 +59,10 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
     # (dispatch-serialized execution pads every kernel), which made
     # the committed per-kernel numbers incomparable with the headline.
     if mode == "train":
-        def loop(s, key):
+        # `t` flows as a jit ARGUMENT: closure capture would bake the
+        # 3 MB target into the StableHLO as a dense constant, costing
+        # minutes of host lowering (see microbench_r3.py docstring).
+        def loop(s, key, t):
             def body(carry, i):
                 x = jax.random.uniform(jax.random.fold_in(key, i), (B, 2))
                 carry, loss = tr._training_step(carry, x, t, None)
@@ -68,10 +71,10 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
             return jax.lax.scan(body, s, jnp.arange(n_steps - 1))
 
         loop = jax.jit(loop)
-        state2, _ = loop(state, jax.random.key(7))  # compile + warm
+        state2, _ = loop(state, jax.random.key(7), t)  # compile + warm
         jax.block_until_ready(state2.params)
         with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
-            _, losses = loop(state, jax.random.key(8))
+            _, losses = loop(state, jax.random.key(8), t)
             jax.block_until_ready(losses)
     else:
         params = tr.inference_params(state)
