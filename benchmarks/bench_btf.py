@@ -65,9 +65,15 @@ def main(argv):
         mm, serial = grid_ops._route_levels(
             (spec.n_features_per_level, 1 << spec.n_dims, meta),
             jnp.bfloat16, batch)
+        groups = grid_ops._serial_level_groups(
+            meta, serial, spec.n_features_per_level, True)
         route = {
             "mm_levels": mm,
             "serial_levels": serial,
+            "serial_scatter_groups": groups,
+            "note": "serial levels scatter in VMEM-budget groups on the "
+                    "Pallas pair kernels (round-5 fix: one whole-table "
+                    "call silently fell back to XLA scatter)",
             "level_sizes": [lv.size for lv in spec.levels],
         }
     except Exception as e:  # report-only; never block the measurement

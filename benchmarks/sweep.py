@@ -127,18 +127,48 @@ def main():
             infer_tp = (n_inf_chunks * chunk * batch_size
                         / (time.perf_counter() - t0))
 
+            # Route label (round-5 VERDICT #7): which implementation
+            # actually ran this cell.  "fully_fused" rows below the
+            # FusedMLP batch-dispatch threshold execute the XLA chain
+            # (models/networks/fused_mlp.py PALLAS_MIN_BATCH), like the
+            # reference's arch-based network selection — the label makes
+            # that explicit instead of implying the Pallas kernel ran.
+            net = model.network.network if hasattr(
+                model.network, "network") else model.network
+            if method == "fully_fused":
+                thresh = getattr(net, "PALLAS_MIN_BATCH", None)
+                pallas = bool(getattr(net, "use_pallas", False)
+                              and thresh is not None
+                              and batch_size >= thresh)
+                route = ("pallas fused_mlp kernel" if pallas else
+                         f"XLA matmul chain (batch < 2^"
+                         f"{(thresh or 0).bit_length() - 1} dispatch "
+                         "threshold)")
+            else:
+                route = "XLA matmul chain (MLP/CutlassMLP-equivalent)"
+
             cell = {
                 "batch_size": batch_size,
                 "training_throughput": train_tp,
                 "inference_throughput": infer_tp,
                 "training_loss": final_loss,
+                "mlp_route": route,
             }
             method_results.append(cell)
             print(f"{method} 2^{p}: train {train_tp:.3e}/s "
-                  f"infer {infer_tp:.3e}/s loss {cell['training_loss']:.4f}",
-                  flush=True)
+                  f"infer {infer_tp:.3e}/s loss {cell['training_loss']:.4f} "
+                  f"[{route}]", flush=True)
         results["tcnn_tpu"][method] = method_results
 
+    import subprocess
+
+    results["meta"] = {
+        "config": os.path.basename(args.config),
+        "producing_commit": subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True,
+            text=True).stdout.strip(),
+        "device": str(jax.devices()[0]),
+    }
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")

@@ -971,42 +971,98 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
                 tuple(lv_meta[i][2] for i in levels), f, c, r_pad,
                 n_flat, str(flat.dtype), mg, pr)
         dflat = part if dflat is None else dflat + part
+
+    # Serial levels run in VMEM-budget GROUPS of table-contiguous
+    # levels, each group a kernel call with GROUP-LOCAL rows.  One call
+    # over all levels would size the kernel's accumulator by the WHOLE
+    # table; beyond ~2.4M rows (f=2, paired) the kernel's own VMEM
+    # check then silently routes everything to XLA's serialized
+    # read-modify-write scatter — measured as the round-4 BTF backward:
+    # 15 x 2^19-row levels in one call = 62 MB packed = XLA fallback at
+    # ~68 ns/row = ~1.1 s/step.  Grouped, the same levels stay on the
+    # serial pair kernels at ~14 ns/pair.
+    def _merge(dflat, piece, base_row):
+        if dflat is None:
+            if piece.shape[0] == n_flat:
+                return piece
+            dflat = jnp.zeros((n_flat,), piece.dtype)
+        # Level row ranges are disjoint across mm classes and serial
+        # groups, and every prior contribution left this range zero, so
+        # an overwrite IS the add.
+        return jax.lax.dynamic_update_slice(dflat, piece, (base_row * f,))
+
     if unpaired:
         with jax.named_scope("tcnn_scatter_serial"):
-            part = scatter_add_weighted(
-                _sel_rows(idx3, unpaired).reshape(-1),
-                _sel_rows(ws3, unpaired).reshape(-1),
-                _sel_rows(dc3, unpaired).reshape(-1, b), n_rows, f, c)
-        dflat = part if dflat is None else dflat + part
+            for group in _serial_level_groups(lv_meta, unpaired, f, False):
+                base = lv_meta[group[0]][2]
+                rows_g = sum(lv_meta[i][1] for i in group)
+                piece = scatter_add_weighted(
+                    (_sel_rows(idx3, group) - base).reshape(-1),
+                    _sel_rows(ws3, group).reshape(-1),
+                    _sel_rows(dc3, group).reshape(-1, b), rows_g, f, c)
+                dflat = _merge(dflat, piece, base)
     if paired:
         with jax.named_scope("tcnn_scatter_pairs"):
-            idx_p = _sel_rows(idx3, paired)
-            ws_p = _sel_rows(ws3, paired)
-            idx_e = idx_p[:, 0::2, :]            # even dim-0 corners
-            w_e = ws_p[:, 0::2, :]
-            w_o = ws_p[:, 1::2, :]
-            dc_p = _sel_rows(dc3, paired)
-            # Wrap-around pairs: even corner on the level's LAST entry →
-            # the odd corner wraps to the level's FIRST entry.  Zero the
-            # in-kernel odd weight and add the wrapped mass via a dense
-            # per-level reduction (exact; the kernel stays branch-free).
-            last = jnp.asarray(np.array(
-                [[[lv_meta[i][2] + lv_meta[i][1] - 1]] for i in paired],
-                np.int32))                        # (Lp, 1, 1)
-            wrap = idx_e == last
-            w_o_in = jnp.where(wrap, 0.0, w_o)
-            part = scatter_add_weighted_pairs(
-                idx_e.reshape(-1), w_e.reshape(-1), w_o_in.reshape(-1),
-                dc_p.reshape(-1, b), n_rows, f, c // 2)
-            corr = gm.level_wrap_correction(w_o, wrap, dc_p, f)  # (Lp, F)
-            tgt = jnp.asarray(np.array(
-                [lv_meta[i][2] * f + k for i in paired
-                 for k in range(f)], np.int32))
-            part = part.at[tgt].add(corr.reshape(-1))
-        dflat = part if dflat is None else dflat + part
+            for group in _serial_level_groups(lv_meta, paired, f, True):
+                base = lv_meta[group[0]][2]
+                rows_g = sum(lv_meta[i][1] for i in group)
+                idx_p = _sel_rows(idx3, group)
+                ws_p = _sel_rows(ws3, group)
+                idx_e = idx_p[:, 0::2, :]        # even dim-0 corners
+                w_e = ws_p[:, 0::2, :]
+                w_o = ws_p[:, 1::2, :]
+                dc_p = _sel_rows(dc3, group)
+                # Wrap-around pairs: even corner on the level's LAST
+                # entry → the odd corner wraps to the level's FIRST.
+                # Zero the in-kernel odd weight and add the wrapped
+                # mass via a dense per-level reduction (exact; the
+                # kernel stays branch-free).
+                last = jnp.asarray(np.array(
+                    [[[lv_meta[i][2] + lv_meta[i][1] - 1]]
+                     for i in group], np.int32))  # (Lp, 1, 1)
+                wrap = idx_e == last
+                w_o_in = jnp.where(wrap, 0.0, w_o)
+                piece = scatter_add_weighted_pairs(
+                    (idx_e - base).reshape(-1), w_e.reshape(-1),
+                    w_o_in.reshape(-1), dc_p.reshape(-1, b), rows_g, f,
+                    c // 2)
+                corr = gm.level_wrap_correction(w_o, wrap, dc_p,
+                                                f)  # (Lp, F)
+                tgt = jnp.asarray(np.array(
+                    [(lv_meta[i][2] - base) * f + k for i in group
+                     for k in range(f)], np.int32))
+                piece = piece.at[tgt].add(corr.reshape(-1))
+                dflat = _merge(dflat, piece, base)
     if dflat is None:
         dflat = jnp.zeros((n_flat,), jnp.float32)
     return _finish_interp_bwd(dflat, flat, idx3, dc3, fc)
+
+
+def _serial_level_groups(lv_meta, levels, f: int, paired: bool):
+    """Partition ``levels`` (positions into lv_meta, ascending) into
+    table-contiguous groups whose combined row count keeps the serial
+    scatter kernel's accumulator VMEM-resident (scatter.max_group_rows
+    with two pipelined accumulators).  A single level over the cap gets
+    its own group — the kernel then degrades for THAT level only
+    (1 accumulator, or XLA past ~2x the cap) instead of dragging every
+    level to the fallback."""
+    from .pallas.scatter import max_group_rows
+
+    cap_env = os.environ.get("TCNN_TPU_SERIAL_GROUP_ROWS")
+    cap = int(cap_env) if cap_env else max_group_rows(f, paired)
+    groups = []
+    cur, cur_rows, cur_end = [], 0, None
+    for i in levels:
+        size, off = lv_meta[i][1], lv_meta[i][2]
+        if cur and (off != cur_end or cur_rows + size > cap):
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(i)
+        cur_rows += size
+        cur_end = off + size
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _finish_interp_bwd(dflat, flat, idx3, dc3, fc):

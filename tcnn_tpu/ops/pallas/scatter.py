@@ -72,6 +72,26 @@ def _pick_n_acc(rows: int) -> int:
     return 0
 
 
+def max_group_rows(f: int, paired: bool, n_acc: int = _N_ACC) -> int:
+    """Largest TABLE row count a single serial-kernel call can keep
+    VMEM-resident with ``n_acc`` accumulators (+ the output block).
+
+    Callers scattering into tables beyond this (BTF-scale 4-D grids:
+    15 levels x 2^19 rows = 62 MB packed) must partition the levels
+    into groups at or under it and invoke the kernel per group with
+    group-local indices — otherwise the impl's own ``_pick_n_acc``
+    check silently routes the WHOLE scatter to XLA's serialized
+    read-modify-write (~68 ns/row; measured as the 1256 ms/step BTF
+    backward of round 4)."""
+    packed_max = _VMEM_BUDGET // (_LANES * 4) // (n_acc + 1)
+    rows = packed_max * _LANES // max(f, 1)
+    if paired:
+        rows //= 2  # slot accumulator is a double view of the table
+    # Keep the packed-layout alignment: group boundaries stay exact
+    # when each group's flat extent is lane-aligned.
+    return max(rows - rows % _LANES, 0)
+
+
 def _compiler_params(rows: int, n_acc: int):
     need = rows * _LANES * 4 * (n_acc + 1) + 8 * 1024 * 1024
     if need <= 16 * 1024 * 1024:
