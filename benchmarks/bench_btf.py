@@ -41,7 +41,8 @@ def main(argv):
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+                      os.environ.get("TCNN_TPU_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax_comp")))
 
     import tcnn_tpu as tcnn
     from tcnn_tpu.ops import grid_ops
@@ -99,22 +100,56 @@ def main(argv):
         st, losses = jax.lax.scan(body, state, jnp.arange(chunk))
         return st, losses[-1]
 
+    # Warmup sync MUST be a data readback: on the axon tunnel
+    # block_until_ready acks at ENQUEUE, so the first execution's load
+    # stall otherwise leaks into the timed region — the round-4
+    # artifact's 1256 ms/step contained exactly that (plus the
+    # ungrouped-scatter XLA fallback this round fixed).
     t0 = time.time()
     state, loss = run_chunk(state, jax.random.key(0))
-    loss.block_until_ready()
+    float(loss)
     compile_s = time.time() - t0
 
+    # Degraded-worker guard (same failure mode bench.py probes for): a
+    # killed predecessor process leaves the tunnel worker ~8-100x slow
+    # until the service recycles it.  Probe a chunk; if it is wildly
+    # slow, wait and retry before measuring.
+    for attempt in range(5):
+        tc = time.time()
+        state, loss = run_chunk(state, jax.random.key(10 + attempt))
+        float(loss)
+        probe = time.time() - tc
+        if probe < 30.0:
+            break
+        print(f"warning: degraded device (probe chunk {probe:.1f}s), "
+              f"retry {attempt + 1}/5 in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+    chunk_times = []
     t0 = time.time()
     for i in range(n_loops):
-        state, loss = run_chunk(state, jax.random.key(1 + i))
-    final_loss = float(loss)          # readback = true sync
+        tc = time.time()
+        state, loss = run_chunk(state, jax.random.key(100 + i))
+        float(loss)                   # readback = true sync
+        chunk_times.append(round(time.time() - tc, 3))
+    final_loss = float(loss)
     dt = time.time() - t0
+    print(f"per-chunk seconds: {chunk_times}", file=sys.stderr, flush=True)
+    # Median chunk = stall-robust throughput; total wall reported too.
+    med_chunk = sorted(chunk_times)[len(chunk_times) // 2]
 
     res = {
         "metric": "BTF-fit training throughput (4-D CoherentAdd "
                   "HashGrid 2^19 + OneBlob + FusedMLP 64x3)",
-        "samples_per_sec": round(n_steps * batch / dt, 1),
-        "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "samples_per_sec": round(chunk * batch / med_chunk, 1),
+        "ms_per_step": round(med_chunk / chunk * 1e3, 3),
+        "protocol": "median chunk of "
+                    f"{n_loops}x{chunk}-step scanned dispatches, "
+                    "readback-synced (robust to the tunnel's "
+                    "multi-minute nondeterministic stalls; all chunk "
+                    "times recorded)",
+        "chunk_seconds": chunk_times,
+        "wall_samples_per_sec": round(n_steps * batch / dt, 1),
         "batch_size": batch,
         "n_steps": n_steps,
         "final_loss": final_loss,

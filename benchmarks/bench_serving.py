@@ -50,7 +50,14 @@ def main(argv):
     serving = load_inference(blob)
 
     def fetch(y):
-        return jax.block_until_ready(y)
+        """True sync: on the axon tunnel block_until_ready acks at
+        ENQUEUE (measured: 0.03 s "ready" vs minutes of execution); only
+        a data readback waits for completion.  The round-4 artifact's
+        latencies were taken with block_until_ready and therefore
+        measured dispatch enqueue, not serving latency — regenerated."""
+        import numpy as _np
+
+        return float(_np.asarray(jax.device_get(y)).ravel()[0])
 
     results = {}
     for b in buckets:

@@ -70,12 +70,17 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
 
             return jax.lax.scan(body, s, jnp.arange(n_steps - 1))
 
+        import numpy as np
+
         loop = jax.jit(loop)
-        state2, _ = loop(state, jax.random.key(7), t)  # compile + warm
-        jax.block_until_ready(state2.params)
+        state2, ls = loop(state, jax.random.key(7), t)  # compile + warm
+        # True sync by data readback — block_until_ready acks at enqueue
+        # on the tunnel, which would let the warmup's device work (and
+        # its first-execution stall) bleed into the traced window.
+        float(np.asarray(jax.device_get(ls)).ravel()[0])
         with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
             _, losses = loop(state, jax.random.key(8), t)
-            jax.block_until_ready(losses)
+            float(np.asarray(jax.device_get(losses)).ravel()[0])
     else:
         params = tr.inference_params(state)
 
@@ -88,10 +93,14 @@ def run_and_trace(mode: str, trace_dir: str, n_steps: int = 12):
             return jax.lax.scan(body, jnp.float32(0),
                                 jnp.arange(n_steps - 1))
 
+        import numpy as np
+
         iloop = jax.jit(iloop)
-        jax.block_until_ready(iloop(params, jax.random.key(7)))
+        float(np.asarray(jax.device_get(
+            iloop(params, jax.random.key(7)))).ravel()[0])
         with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
-            jax.block_until_ready(iloop(params, jax.random.key(8)))
+            float(np.asarray(jax.device_get(
+                iloop(params, jax.random.key(8)))).ravel()[0])
     return n_steps - 1
 
 

@@ -194,3 +194,88 @@ def load_inference(path_or_bytes) -> ServingModel:
                 arts[int(name[len("batch_"):-len(".jaxexport")])] = \
                     z.read(name)
     return ServingModel(meta, arts)
+
+
+# ---------------------------------------------------------------------------
+# AOT-exported TRAINING step.
+#
+# The reference is an AOT-compiled C++ library: create_from_config →
+# first training_step costs milliseconds (CMakeLists.txt:261-263 builds
+# arch-specialized kernels once at install time).  The JAX analog: a
+# jax.export artifact of the donated training step — built once per
+# (config, batch), loadable in any process with NO model code and NO
+# tracing (the host-side trace+lower, ~3-6 s for the flagship, is paid
+# at export; the backend compile remains cache-eligible on load).
+# ---------------------------------------------------------------------------
+
+
+def export_train_step(trainer, state, batch: int,
+                      path: Optional[str] = None, *,
+                      platforms: Optional[Sequence[str]] = None,
+                      input_dtype=jnp.float32) -> bytes:
+    """Export ``(state, x, target) -> (state, loss)`` as a jax.export
+    artifact at a static batch size.
+
+    Unlike :func:`export_inference` the STATE stays an argument (the
+    caller trains), so the artifact pairs with an initial state built by
+    the exporting process — ``state`` here is only used for its
+    shapes/dtypes.  Returns the serialized bytes (written to ``path``
+    if given); load with :func:`load_train_step`.
+    """
+    from .utils.serialization import check_replicated
+
+    check_replicated(state, "TrainerState")
+    _register_trainer_state_serialization()
+    model = trainer.model
+    n_in, n_out = model.n_input_dims, model.n_output_dims
+    step = trainer.step_fn()
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exp = jax_export.export(jax.jit(step, donate_argnums=(0,)), **kwargs)(
+        jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state),
+        jax.ShapeDtypeStruct((batch, n_in), input_dtype),
+        jax.ShapeDtypeStruct((batch, n_out), input_dtype))
+    data = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+_TRAINER_STATE_REGISTERED = False
+
+
+def _register_trainer_state_serialization() -> None:
+    """jax.export needs custom pytree nodes registered for
+    serialization; idempotent (the loader needs it too so deserialized
+    artifacts rebuild TrainerState outputs)."""
+    global _TRAINER_STATE_REGISTERED
+    if _TRAINER_STATE_REGISTERED:
+        return
+    from .trainer import TrainerState
+
+    jax_export.register_pytree_node_serialization(
+        TrainerState,
+        serialized_name="tcnn_tpu.trainer.TrainerState",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: None,
+    )
+    _TRAINER_STATE_REGISTERED = True
+
+
+def load_train_step(path_or_bytes):
+    """Load an :func:`export_train_step` artifact.
+
+    Returns a jitted ``step(state, x, target) -> (state, loss)`` that
+    runs without any model/config code in the process.
+    """
+    _register_trainer_state_serialization()
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    return jax.jit(jax_export.deserialize(blob).call)

@@ -129,3 +129,60 @@ class TestServing:
                     zout.writestr(name, zin.read(name))
         with pytest.raises(ValueError, match="missing artifacts"):
             serving.load_inference(out.getvalue())
+
+
+class TestTrainStepExport:
+    """AOT-exported TRAINING step (round-5: the jax.export analog of
+    the reference's install-time AOT build, CMakeLists.txt:261-263) —
+    loadable with no model code, numerically identical to the live
+    jitted step."""
+
+    def _model(self):
+        import tcnn_tpu as tcnn
+
+        return tcnn.create_from_config(2, 3, {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 0.01},
+            "encoding": {"otype": "HashGrid", "n_levels": 4,
+                         "log2_hashmap_size": 8, "base_resolution": 4},
+            "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                        "n_hidden_layers": 2},
+        })
+
+    def test_export_load_matches_live_step(self, tmp_path):
+        from tcnn_tpu.serving import export_train_step, load_train_step
+
+        model = self._model()
+        tr = model.trainer
+        state = tr.initial_state()
+        b = 512
+        p = str(tmp_path / "train_step.jaxexport")
+        export_train_step(tr, state, b, p)
+        step = load_train_step(p)
+
+        x = jax.random.uniform(jax.random.key(1), (b, 2))
+        t = jax.random.uniform(jax.random.key(2), (b, 3))
+        s_live, l_live = tr.training_step(tr.initial_state(), x, t)
+        s_aot, l_aot = step(tr.initial_state(), x, t)
+        np.testing.assert_allclose(float(l_aot), float(l_live), rtol=1e-6)
+        for a, bb in zip(jax.tree_util.tree_leaves(s_aot.params),
+                         jax.tree_util.tree_leaves(s_live.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(bb, np.float32),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_multi_step_training_progresses(self):
+        from tcnn_tpu.serving import export_train_step, load_train_step
+
+        model = self._model()
+        tr = model.trainer
+        state = tr.initial_state()
+        b = 512
+        step = load_train_step(export_train_step(tr, state, b))
+        x = jax.random.uniform(jax.random.key(1), (b, 2))
+        t = jax.random.uniform(jax.random.key(2), (b, 3))
+        losses = []
+        for _ in range(20):
+            state, loss = step(state, x, t)
+            losses.append(float(loss))
+        assert losses[-1] < 0.3 * losses[0]
