@@ -300,9 +300,13 @@ def main():
         """median-of-3 timing: the tunnel shows both multi-second
         hiccups (slow outliers → observed negative slopes) and
         occasional early acks (fast outliers → impossible TFLOPS); the
-        median is robust to one outlier in either direction."""
+        median is robust to one outlier in either direction.  The
+        readback is ONE element (the [:1,:1] slice is its own tiny
+        dispatch with a data dependency on the chain) — device_get of
+        the full 64 MB product rode the flaky link and was the real
+        source of the probe's noise."""
         f = jax.jit(lambda x: jax.lax.fori_loop(
-            0, n, lambda i, y: (y @ bmat).astype(jnp.bfloat16), x))
+            0, n, lambda i, y: (y @ bmat).astype(jnp.bfloat16), x)[:1, :1])
         fetch(f(a))
         ts = []
         for _ in range(3):
