@@ -168,6 +168,19 @@ def main():
             ["git", "rev-parse", "HEAD"], capture_output=True,
             text=True).stdout.strip(),
         "device": str(jax.devices()[0]),
+        "known_anomalies": {
+            "train_dip_at_2^16": (
+                "training throughput at B=2^16 is reproducibly ~30% "
+                "below both neighbors PER SAMPLE (round-5 probe: "
+                "8.82-8.85e7 samples/s across chunk sizes 10/20/40 and "
+                "repeats, vs 1.1-1.2e8 at 2^15 and 1.39e8 at 2^17; "
+                "11.3 ns/sample vs 8.3/7.2).  Identical on both "
+                "methods, which share the XLA-chain MLP route and all "
+                "data/loss/optimizer code at this batch — i.e. an XLA "
+                "codegen anomaly for some op at exactly a 65536-sized "
+                "dimension, not a framework dispatch decision.  "
+                "Inference at 2^16 shows no dip."),
+        },
     }
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
