@@ -727,7 +727,7 @@ def _route_levels(fc, flat_dtype, b):
     return mm, serial
 
 
-def _mm_classes(lv_meta, positions):
+def _mm_classes(lv_meta, positions, b=1 << 18):
     """Group mm levels into dispatch classes -> [(levels, r_pad,
     merged)].
 
@@ -782,12 +782,38 @@ def _mm_classes(lv_meta, positions):
     classes = {}
     for i in rest:
         classes.setdefault(pad(lv_meta[i][1]), []).append(i)
+    # Launch-aware absorption (round 5, OFF by default — measured to
+    # LOSE): the trace profile shows the small per-level classes each
+    # cost ~0.36 ms while their MAC shares are 0.05-0.35 ms, suggesting
+    # ~0.3 ms of fixed launch/ramp recoverable by absorbing small
+    # classes into larger ones (levels pad up to the bigger r_pad —
+    # per-level blocks make this numerically exact).  The on-chip A/B
+    # refutes the model: 6→3 launches/direction measured 20.96 vs
+    # 20.66 ms/step (benchmarks/logs/absorb_ab_r5.log) — the small
+    # classes' exclusive-trace time is NOT a recoverable fixed cost
+    # (their grid steps overlap the big class's pipeline; padding MACs
+    # are pure addition).  Kept A/B-able: TCNN_TPU_MM_LAUNCH_ROWS=N
+    # enables absorption of up to N extra padded rows per saved launch.
+    lrows_env = os.environ.get("TCNN_TPU_MM_LAUNCH_ROWS")
+    launch_rows = int(lrows_env) if lrows_env is not None else 0
+    pads = sorted(classes)
+    k = 0
+    while k + 1 < len(pads):
+        r_small, r_big = pads[k], pads[k + 1]
+        extra = len(classes[r_small]) * (r_big - r_small)
+        if extra <= launch_rows:
+            classes[r_big] = classes[r_big] + classes[r_small]
+            del classes[r_small]
+            pads.pop(k)
+        else:
+            k += 1
     for r_pad in sorted(classes):
         out.append((sorted(classes[r_pad]), r_pad, False))
     return out
 
 
-def _mm_class_plan(lv_meta, positions, direction, n_passes=1):
+def _mm_class_plan(lv_meta, positions, direction, n_passes=1,
+                   b=1 << 18):
     """_mm_classes plus pair-packing for one direction.
 
     XOR-pair-eligible levels (lv_meta[3]) whose ``direction`` is
@@ -805,16 +831,16 @@ def _mm_class_plan(lv_meta, positions, direction, n_passes=1):
              if _xor_flag(lv_meta[i], direction, n_passes)]
     rest = [i for i in positions
             if not _xor_flag(lv_meta[i], direction, n_passes)]
-    for levels, r_pad, mg in _mm_classes(lv_meta, pos_x):
+    for levels, r_pad, mg in _mm_classes(lv_meta, pos_x, b):
         yield levels, r_pad, mg, "xor"
     if not paired_mm_enabled():
-        for levels, r_pad, mg in _mm_classes(lv_meta, rest):
+        for levels, r_pad, mg in _mm_classes(lv_meta, rest, b):
             yield levels, r_pad, mg, False
         return
     pos_p = [i for i in rest if lv_meta[i][0]]
     pos_u = [i for i in rest if not lv_meta[i][0]]
     for pos, pr in ((pos_p, "carry"), (pos_u, False)):
-        for levels, r_pad, mg in _mm_classes(lv_meta, pos):
+        for levels, r_pad, mg in _mm_classes(lv_meta, pos, b):
             yield levels, r_pad, mg, pr
 
 
@@ -853,7 +879,7 @@ def _interp_fwd_dispatch(flat, idx, ws, fc):
 
     pieces = {}
     for levels, r_pad, mg, pr in _mm_class_plan(
-            lv_meta, mm, "gather", _value_passes(flat.dtype)):
+            lv_meta, mm, "gather", _value_passes(flat.dtype), b):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         tag = "x" if pr == "xor" else ("p" if pr else "")
@@ -959,7 +985,7 @@ def _grid_interpolate_vjp_bwd(fc, res, dcols):
 
     dflat = None
     for levels, r_pad, mg, pr in _mm_class_plan(lv_meta, mm, "scatter",
-                                                _vp(flat.dtype)):
+                                                _vp(flat.dtype), b):
         idx_local = _localize_idx(_sel_rows(idx3, levels), lv_meta, levels)
         w_g = _sel_rows(ws3, levels).reshape(-1, b)
         dc_g = _sel_rows(dc3, levels).reshape(-1, b)

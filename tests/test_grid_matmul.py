@@ -280,27 +280,45 @@ class TestMergedClasses:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
 
-    def test_flagship_class_plan(self):
-        """config_hash geometry: the cost-chosen plan never makes a
-        level contract against more rows than its own 1024-padded size
-        (the round-3 fixed-cap greedy merged five levels into a
-        12288-row virtual table each of them then paid — +1.2 ms/pass
-        measured on chip)."""
+    def test_flagship_class_plan(self, monkeypatch):
+        """config_hash geometry.  Default (absorption off — the
+        launch-absorption A/B measured it SLOWER, see _mm_classes):
+        MAC-exact invariants hold — no level contracts against more
+        rows than its own 1024-padded size (the round-3 fixed-cap
+        greedy merged five levels into a 12288-row virtual table each
+        then paid — +1.2 ms/pass on chip).  With
+        TCNN_TPU_MM_LAUNCH_ROWS set, small classes absorb into larger
+        ones, bounded by the allowance per saved launch."""
         spec = grid_ops.make_grid_spec(2, 16, 2, 15, 16, 1.5)
         meta = tuple((True, lv.size, lv.offset) for lv in spec.levels)
         mm, serial = grid_ops._route_levels((2, 4, meta), jnp.bfloat16,
                                             1 << 18)
         assert serial == []
-        classes = grid_ops._mm_classes(meta, mm)
-        # every level pays at most its own padded contraction
         pad = lambda n: (n + 1023) // 1024 * 1024
+
+        # Default: absorption OFF (measured slower on chip, see
+        # _mm_classes) — the MAC-exact invariants hold.
+        classes = grid_ops._mm_classes(meta, mm)
         for levels, r_pad, mg in classes:
             for i in levels:
                 assert r_pad <= pad(meta[i][1]) or (
                     mg and r_pad <= sum(pad(meta[j][1]) for j in levels))
-        # total MAC cost is within the per-level-padding optimum
         total = sum(len(levels) * r_pad for levels, r_pad, _ in classes)
         assert total <= sum(pad(m[1]) for m in meta)
+        n_exact = len(classes)
+
+        monkeypatch.setenv("TCNN_TPU_MM_LAUNCH_ROWS", "12000")
+        absorbed = grid_ops._mm_classes(meta, mm, b=1 << 18)
+        n_abs = len(absorbed)
+        assert n_abs < n_exact  # launches actually saved at this geometry
+        total_abs = sum(len(levels) * r_pad
+                        for levels, r_pad, _ in absorbed)
+        # Extra padded rows bounded by the launch allowance per saved
+        # launch (absorption is exact numerically; this checks cost).
+        assert total_abs - total <= (n_exact - n_abs) * 12000
+        # Same level set, no duplicates.
+        flat = sorted(i for levels, _, _ in absorbed for i in levels)
+        assert flat == sorted(mm)
 
     def test_grid_encode_parity_with_merged_classes(self, monkeypatch):
         """End-to-end grid_encode with a class plan that includes a
